@@ -1,0 +1,4 @@
+from promptttspp_tpu.config.compose import Config, compose, load_yaml, main
+from promptttspp_tpu.config.instantiate import instantiate, register_target
+
+__all__ = ["Config", "compose", "load_yaml", "main", "instantiate", "register_target"]

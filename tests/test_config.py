@@ -1,0 +1,98 @@
+import os
+import textwrap
+
+import pytest
+
+from promptttspp_tpu.config import Config, compose, instantiate, register_target
+
+REF_CONF = "/root/reference/egs/proposed/bin/conf"
+
+
+@pytest.fixture()
+def conf_dir(tmp_path):
+    (tmp_path / "model").mkdir()
+    (tmp_path / "optimizer").mkdir()
+    (tmp_path / "main.yaml").write_text(textwrap.dedent("""
+        defaults:
+          - _self_
+          - model: small
+          - optimizer: adamw
+        output_dir: ./out
+        seed: 42
+    """))
+    (tmp_path / "model" / "small.yaml").write_text(textwrap.dedent("""
+        channels: 256
+        sub:
+          width: ${..channels}
+          name: w${..channels}x
+        top: ${output_dir}
+    """))
+    (tmp_path / "model" / "big.yaml").write_text("channels: 512\nsub: {width: 1, name: b}\ntop: t\n")
+    (tmp_path / "optimizer" / "adamw.yaml").write_text("lr: 1e-3\nbetas: [0.9, 0.98]\n")
+    return tmp_path
+
+
+def test_compose_defaults_and_interp(conf_dir):
+    cfg = compose(conf_dir, "main")
+    assert cfg.seed == 42
+    assert cfg.model.channels == 256
+    assert cfg.model.sub.width == 256  # relative ${..}
+    assert cfg.model.sub.name == "w256x"  # partial interpolation
+    assert cfg.model.top == "./out"  # absolute interpolation
+    assert cfg.optimizer.lr == 1e-3
+    assert isinstance(cfg.optimizer.betas, list)
+
+
+def test_overrides(conf_dir):
+    cfg = compose(
+        conf_dir, "main",
+        overrides=["model=big", "seed=7", "+extra.k=true", "optimizer.lr=0.01"],
+    )
+    assert cfg.model.channels == 512
+    assert cfg.seed == 7
+    assert cfg.extra.k is True
+    assert cfg.optimizer.lr == 0.01
+
+
+def test_unknown_override_raises(conf_dir):
+    with pytest.raises(KeyError):
+        compose(conf_dir, "main", overrides=["nope.deep=1"])
+
+
+def test_instantiate_registry():
+    register_target("tests.fake.Thing", lambda a, b=2: (a, b))
+    obj = instantiate({"_target_": "tests.fake.Thing", "a": 1, "b": 3})
+    assert obj == (1, 3)
+    part = instantiate({"_target_": "tests.fake.Thing", "_partial_": True, "b": 9})
+    assert part(5) == (5, 9)
+
+
+def test_instantiate_nested():
+    register_target("tests.fake.Inner", lambda x: x * 2)
+    register_target("tests.fake.Outer", lambda inner, k: (inner, k))
+    obj = instantiate(Config({
+        "_target_": "tests.fake.Outer",
+        "inner": {"_target_": "tests.fake.Inner", "x": 4},
+        "k": "s",
+    }))
+    assert obj == (8, "s")
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_CONF), reason="reference not mounted")
+def test_compose_reference_train_config():
+    """The reference's own Hydra tree must compose identically here."""
+    cfg = compose(
+        REF_CONF, "train",
+        overrides=["model=prompttts_mdn_v2_wo_erg_final", "dataset.max_tokens=30000"],
+    )
+    m = cfg.model
+    assert m.phoneme_embedding.num_vocab == 90
+    # ${...phoneme_embedding.channels} relative interpolation
+    assert m.variance_adaptor.duration_predictor.channels == 256
+    # ${..duration_predictor.dropout}
+    assert m.variance_adaptor.pitch_predictor.dropout == 0.5
+    assert m.decoder.denoise_fn.encoder_hidden_dim == 256
+    assert m.reference_encoder.gru_units == 256
+    assert cfg.dataset.max_tokens == 30000
+    assert cfg.optimizer.lr == 0.001
+    assert cfg.train.lr_scheduler.warmup_steps == 4000
