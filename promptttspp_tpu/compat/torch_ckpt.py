@@ -1,0 +1,135 @@
+"""PyTorch-reference checkpoint -> flax parameter tree conversion.
+
+Our modules name submodules after the reference's attribute names, so a
+flax path maps mechanically onto a torch ``state_dict`` key:
+
+    ("encoder", "encoders_3", "self_attn", "linear_q") / "kernel"
+        -> "encoder.encoders.3.self_attn.linear_q.weight"  (transposed)
+
+Rules:
+- ``kernel``  <- ``weight`` (Dense: W^T; Conv1d: [out,in,k]->[k,in,out];
+  Conv2d: [out,in,kh,kw]->[kh,kw,in,out]); if ``weight`` is absent but
+  ``weight_g``/``weight_v`` exist, weight-norm is folded first
+  (w = g * v / ||v||, norm over all dims but 0 — torch's default dim=0
+  semantics for ConvNd/Linear).
+- ``scale``/``bias`` of LayerNorm/BatchNorm <- ``weight``/``bias``;
+  batch_stats ``mean``/``var`` <- ``running_mean``/``running_var``.
+- ``embedding`` <- ``weight`` (no transpose).
+- ``encoders_N`` path components <- ``encoders.N`` (torch ModuleList).
+- everything else (gamma, beta, pos_bias_u/v, gst_embs, GRU weights,
+  alpha) converts by name identity.
+
+This doubles as the parity-test loader: tests/goldens/*.npz carry the
+reference state_dict as arrays and are loaded through this module.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def fold_weight_norm(g: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """w = g * v / ||v|| with the norm over all dims except 0."""
+    axes = tuple(range(1, v.ndim))
+    norm = np.sqrt(np.sum(v.astype(np.float64) ** 2, axis=axes, keepdims=True))
+    return (g.astype(np.float64) * v.astype(np.float64) / norm).astype(v.dtype)
+
+
+def _to_torch_key(path: Tuple[str, ...]) -> str:
+    parts = []
+    for p in path:
+        # flax list-modules are named name_N; torch ModuleList uses name.N
+        if "_" in p:
+            head, _, tail = p.rpartition("_")
+            if tail.isdigit() and head and not head[-1].isdigit():
+                # keep names like 'w_1', 'conv_0' ambiguous cases below
+                if head in ("encoders", "layers", "convs", "norms", "ups",
+                            "resblocks", "noise_convs", "mlp", "adaptor",
+                            "blocks", "convs1", "convs2", "activations",
+                            "residual_layers"):
+                    parts.append(f"{head}.{tail}")
+                    continue
+        parts.append(p)
+    return ".".join(parts)
+
+
+def _convert_leaf(name: str, flax_val, torch_key_base: str,
+                  sd: Mapping[str, np.ndarray], collection: str):
+    """Return the converted array for one flax leaf."""
+    get = lambda suffix: np.asarray(sd[f"{torch_key_base}.{suffix}"]
+                                    if torch_key_base else sd[suffix])
+
+    if collection == "batch_stats":
+        if name == "mean":
+            return get("running_mean")
+        if name == "var":
+            return get("running_var")
+        raise KeyError(name)
+
+    if name == "kernel":
+        full = f"{torch_key_base}.weight" if torch_key_base else "weight"
+        if full in sd:
+            w = np.asarray(sd[full])
+        else:
+            w = fold_weight_norm(
+                np.asarray(sd[full.replace("weight", "weight_g")]),
+                np.asarray(sd[full.replace("weight", "weight_v")]),
+            )
+        if w.ndim == 2:  # Linear
+            return w.T
+        if w.ndim == 3:  # Conv1d [out, in/g, k] -> [k, in/g, out]
+            return w.transpose(2, 1, 0)
+        if w.ndim == 4:  # Conv2d [out, in/g, kh, kw] -> [kh, kw, in/g, out]
+            return w.transpose(2, 3, 1, 0)
+        raise ValueError(f"unexpected weight ndim for {full}: {w.shape}")
+    if name == "scale":
+        return get("weight")
+    if name == "bias":
+        return get("bias")
+    if name == "embedding":
+        return get("weight")
+    if name in ("gamma", "beta"):
+        return get(name).reshape(np.shape(flax_val))
+    # identity-named leaves (pos_bias_u, gst_embs, GRU weights, alpha, ...)
+    return get(name)
+
+
+def convert_tree(
+    flax_tree,
+    state_dict: Mapping[str, np.ndarray],
+    collection: str = "params",
+    prefix: str = "",
+    rename: Optional[Dict[str, str]] = None,
+):
+    """Convert a torch state_dict into the structure of ``flax_tree``.
+
+    Args:
+      flax_tree: template (e.g. ``variables['params']``).
+      state_dict: torch name -> ndarray.
+      collection: 'params' or 'batch_stats'.
+      prefix: prepended to every generated torch key (e.g. 'encoder.').
+      rename: optional rewrites of the generated torch module path (the
+        dotted key *without* the parameter leaf), for structural
+        deviations between the trees.
+    """
+    rename = rename or {}
+
+    def rec(node, path):
+        if isinstance(node, Mapping):
+            return {k: rec(v, path + (k,)) for k, v in node.items()}
+        base = f"{prefix}{_to_torch_key(path[:-1])}".strip(".")
+        base = rename.get(base, base)
+        arr = _convert_leaf(path[-1], node, base, state_dict, collection)
+        arr = np.asarray(arr)
+        expected = np.shape(node)
+        if tuple(arr.shape) != tuple(expected):
+            raise ValueError(
+                f"shape mismatch at {'/'.join(path)}: torch {arr.shape} "
+                f"vs flax {expected}"
+            )
+        return jnp.asarray(arr, dtype=jnp.result_type(node))
+
+    return rec(flax_tree, ())

@@ -1,0 +1,255 @@
+"""DDPM mel decoder: DiffNet denoiser + GaussianDiffusion wrapper.
+
+Behavioral equivalents of
+`/root/reference/promptttspp/modules/denoiser.py:28-143` and
+`modules/diffusion.py:40-356` (DiffSinger-style): K=100 linear betas
+(1e-4 -> 0.06), epsilon-prediction, mel normalized by norm_scale 6.0.
+
+TPU-first restructuring:
+- all schedule tables are numpy constants folded into the program;
+- the 100-step ancestral loop is one ``jax.lax.scan`` (compiles once,
+  no Python loop, no host sync per step);
+- the denoiser works on [B, T, C]; the 20 residual blocks' dilated convs
+  + gated tanh/sigmoid run as lane-aligned convolutions, with the ``g``
+  conditioning argument accepted-but-ignored exactly like the reference
+  (`diffusion.py:287,320`).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from promptttspp_tpu.nn.layers import conv1d, mish
+
+
+def linear_beta_schedule(timesteps: int, min_beta=1e-4, max_beta=0.06):
+    return np.linspace(min_beta, max_beta, timesteps)
+
+
+def cosine_beta_schedule(timesteps: int, s=0.008):
+    steps = timesteps + 1
+    x = np.linspace(0, steps, steps)
+    ac = np.cos(((x / steps) + s) / (1 + s) * np.pi * 0.5) ** 2
+    ac = ac / ac[0]
+    betas = 1 - (ac[1:] / ac[:-1])
+    return np.clip(betas, 0, 0.999)
+
+
+class SinusoidalPosEmb(nn.Module):
+    """Diffusion-step embedding (`denoiser.py:28-41`)."""
+
+    dim: int
+    scale: float = 1.0
+
+    def __call__(self, t):
+        """t [B] float/int -> [B, dim]."""
+        half = self.dim // 2
+        emb = math.log(10000.0) / (half - 1)
+        freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -emb)
+        arg = self.scale * t.astype(jnp.float32)[:, None] * freqs[None, :]
+        return jnp.concatenate([jnp.sin(arg), jnp.cos(arg)], axis=-1)
+
+
+class ResidualBlock(nn.Module):
+    """Dilated conv + gated tanh/sigma + conditioner (`denoiser.py:55-83`)."""
+
+    encoder_hidden: int
+    residual_channels: int
+    kernel_size: int
+    dilation: int
+
+    @nn.compact
+    def __call__(self, x, conditioner, diffusion_step, mask=None):
+        """x [B,T,R]; conditioner [B,T,H]; diffusion_step [B,R]."""
+        step = nn.Dense(self.residual_channels, name="diffusion_projection")(
+            diffusion_step
+        )[:, None, :]
+        cond = conv1d(2 * self.residual_channels, 1,
+                      name="conditioner_projection")(conditioner)
+        y = x + step
+        y = conv1d(
+            2 * self.residual_channels, self.kernel_size,
+            dilation=self.dilation, name="dilated_conv",
+        )(y) + cond
+        gate, filt = jnp.split(y, 2, axis=-1)
+        y = nn.sigmoid(gate) * jnp.tanh(filt)
+        y = conv1d(2 * self.residual_channels, 1, name="output_projection")(y)
+        if mask is not None:
+            y = y * mask
+        residual, skip = jnp.split(y, 2, axis=-1)
+        return (x + residual) / math.sqrt(2.0), skip
+
+
+class DiffNet(nn.Module):
+    """WaveNet-ish epsilon predictor (`denoiser.py:86-143`).
+
+    [B, T, in_dim] noisy mel + [B] t + [B, T, H] cond -> [B, T, in_dim].
+    """
+
+    in_dim: int = 80
+    encoder_hidden_dim: int = 256
+    residual_layers: int = 20
+    residual_channels: int = 256
+    kernel_size: int = 3
+    dilation_cycle_length: int = 4
+    scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x, diffusion_step, cond, mask=None):
+        x = conv1d(self.residual_channels, 1, name="input_projection")(x)
+        x = nn.relu(x)
+        t_emb = SinusoidalPosEmb(self.residual_channels, self.scale,
+                                 name="diffusion_embedding")(diffusion_step)
+        t_emb = nn.Dense(self.residual_channels * 4, name="mlp_0")(t_emb)
+        t_emb = mish(t_emb)
+        t_emb = nn.Dense(self.residual_channels, name="mlp_2")(t_emb)
+
+        skip_sum = 0.0
+        for i in range(self.residual_layers):
+            x, skip = ResidualBlock(
+                self.encoder_hidden_dim,
+                self.residual_channels,
+                self.kernel_size,
+                2 ** (i % self.dilation_cycle_length),
+                name=f"residual_layers_{i}",
+            )(x, cond, t_emb, mask)
+            skip_sum = skip_sum + skip
+
+        x = skip_sum / math.sqrt(self.residual_layers)
+        x = conv1d(self.residual_channels, 1, name="skip_projection")(x)
+        x = nn.relu(x)
+        return conv1d(self.in_dim, 1, name="output_projection")(x)
+
+
+class GaussianDiffusion(nn.Module):
+    """(`diffusion.py:68-356`). forward -> (noise, eps_pred); inference ->
+    denormalized mel via a lax.scan ancestral loop."""
+
+    in_dim: int
+    out_dim: int
+    denoise_fn: nn.Module
+    K_step: int = 100
+    schedule_type: str = "linear"
+    norm_scale: Optional[float] = None
+    a_min: float = 0.0
+    a_max: float = 20.0
+    pndm_speedup: Optional[int] = None
+
+    def setup(self):
+        if self.schedule_type == "linear":
+            betas = linear_beta_schedule(self.K_step)
+        elif self.schedule_type == "cosine":
+            betas = cosine_beta_schedule(self.K_step)
+        else:
+            raise ValueError(self.schedule_type)
+        alphas = 1.0 - betas
+        ac = np.cumprod(alphas)
+        ac_prev = np.append(1.0, ac[:-1])
+        f32 = lambda a: jnp.asarray(a, jnp.float32)
+        self.betas = f32(betas)
+        self.sqrt_alphas_cumprod = f32(np.sqrt(ac))
+        self.sqrt_one_minus_alphas_cumprod = f32(np.sqrt(1.0 - ac))
+        self.sqrt_recip_alphas_cumprod = f32(np.sqrt(1.0 / ac))
+        self.sqrt_recipm1_alphas_cumprod = f32(np.sqrt(1.0 / ac - 1.0))
+        post_var = betas * (1.0 - ac_prev) / (1.0 - ac)
+        self.posterior_log_variance_clipped = f32(
+            np.log(np.maximum(post_var, 1e-20)))
+        self.posterior_mean_coef1 = f32(
+            betas * np.sqrt(ac_prev) / (1.0 - ac))
+        self.posterior_mean_coef2 = f32(
+            (1.0 - ac_prev) * np.sqrt(alphas) / (1.0 - ac))
+        self.alphas_cumprod = f32(ac)
+
+    def _norm(self, x):
+        if self.norm_scale is not None:
+            return x / self.norm_scale
+        return (x - self.a_min) / (self.a_max - self.a_min) * 2 - 1
+
+    def _denorm(self, x):
+        if self.norm_scale is not None:
+            return x * self.norm_scale
+        return (x + 1) / 2 * (self.a_max - self.a_min) + self.a_min
+
+    def q_sample(self, x_start, t, noise):
+        """t int [B]."""
+        c1 = self.sqrt_alphas_cumprod[t][:, None, None]
+        c2 = self.sqrt_one_minus_alphas_cumprod[t][:, None, None]
+        return c1 * x_start + c2 * noise
+
+    def predict_start_from_noise(self, x_t, t, noise):
+        return (
+            self.sqrt_recip_alphas_cumprod[t][:, None, None] * x_t
+            - self.sqrt_recipm1_alphas_cumprod[t][:, None, None] * noise
+        )
+
+    def p_sample(self, x, t, cond, noise, clip_denoised: bool = True):
+        """One reverse step; noise [B,T,C] (zeros at t==0 handled here)."""
+        eps = self.denoise_fn(x, t, cond)
+        x_recon = self.predict_start_from_noise(x, t, eps)
+        if clip_denoised:
+            x_recon = jnp.clip(x_recon, -1.0, 1.0)
+        mean = (
+            self.posterior_mean_coef1[t][:, None, None] * x_recon
+            + self.posterior_mean_coef2[t][:, None, None] * x
+        )
+        log_var = self.posterior_log_variance_clipped[t][:, None, None]
+        nonzero = (t > 0).astype(x.dtype)[:, None, None]
+        return mean + nonzero * jnp.exp(0.5 * log_var) * noise
+
+    def __call__(self, cond, y, mask=None, g=None, t=None, noise=None):
+        """Training step. cond [B,T,H]; y mel [B,T,out_dim]; mask
+        [B,T,1]. t/noise default to fresh draws from the 'diffusion' RNG
+        stream (pass explicitly for deterministic tests).
+        Returns (noise, eps_pred), both [B,T,out_dim] (unmasked; the model
+        applies the frame mask, `model.py:133-135`). ``g`` ignored
+        (`diffusion.py:287`)."""
+        B = cond.shape[0]
+        if t is None:
+            t = jax.random.randint(
+                self.make_rng("diffusion"), (B,), 0, self.K_step)
+        x = self._norm(y)
+        if noise is None:
+            noise = jax.random.normal(
+                self.make_rng("diffusion"), x.shape, x.dtype)
+        x_noisy = self.q_sample(x, t, noise)
+        eps_pred = self.denoise_fn(x_noisy, t, cond, mask)
+        return noise, eps_pred
+
+    def inference(self, cond, g=None, rng=None, x_T=None,
+                  zero_noise: bool = False):
+        """Ancestral sampling as one lax.scan over K steps.
+
+        cond [B,T,H] -> mel [B,T,out_dim] (denormalized). ``x_T`` and
+        ``zero_noise`` exist for deterministic parity tests.
+        """
+        B, T = cond.shape[0], cond.shape[1]
+        shape = (B, T, self.out_dim)
+        if rng is None and (x_T is None or not zero_noise):
+            rng = self.make_rng("diffusion")
+        if x_T is None:
+            rng, sub = jax.random.split(rng)
+            x = jax.random.normal(sub, shape, jnp.float32)
+        else:
+            x = x_T
+
+        if zero_noise:
+            noises = jnp.zeros((self.K_step,) + shape, jnp.float32)
+        else:
+            noises = jax.random.normal(
+                rng, (self.K_step,) + shape, jnp.float32)
+
+        def step(x, inputs):
+            i, noise = inputs
+            t = jnp.full((B,), i, jnp.int32)
+            x = self.p_sample(x, t, cond, noise)
+            return x, None
+
+        steps = jnp.arange(self.K_step - 1, -1, -1)
+        x, _ = jax.lax.scan(step, x, (steps, noises[::-1]))
+        return self._denorm(x)

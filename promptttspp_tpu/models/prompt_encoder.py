@@ -1,0 +1,38 @@
+"""Prompt encoder: BERT CLS vector -> MLP adaptor -> style space.
+
+Behavioral equivalent of
+`/root/reference/promptttspp/modules/prompt_encoder.py:22-56`. Key
+TPU-native change: prompts arrive pre-tokenized ([B, L] ids + mask from
+``WordPieceTokenizer``, host side) instead of raw strings inside forward.
+The adaptor Linear names (``adaptor_0/2/4``) match the torch
+``nn.Sequential`` indices (ReLUs at 1/3).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+
+from promptttspp_tpu.models.bert import BertConfig, BertModel
+
+
+class PromptEncoder(nn.Module):
+    model_name: str = "bert-base-uncased"
+    in_channels: int = 768
+    mid_channels: int = 512
+    out_channels: int = 256
+    bert_config: Optional[BertConfig] = None
+
+    def setup(self):
+        cfg = self.bert_config or BertConfig(hidden_size=self.in_channels)
+        self.bert = BertModel(cfg, name="bert")
+
+    def __call__(self, input_ids, attention_mask, train: bool = False):
+        """[B, L] ids + mask -> [B, 1, out_channels]."""
+        hidden = self.bert(input_ids, attention_mask, deterministic=not train)
+        cls = hidden[:, 0, :]
+        x = nn.relu(nn.Dense(self.mid_channels, name="adaptor_0")(cls))
+        x = nn.relu(nn.Dense(self.mid_channels, name="adaptor_2")(x))
+        x = nn.Dense(self.out_channels, name="adaptor_4")(x)
+        return x[:, None, :]  # [B, 1, C]

@@ -13,3 +13,9 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The TPU-tunnel plugin in this image ignores JAX_PLATFORMS; force via config
+# (must happen before any backend initialization).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
