@@ -221,7 +221,7 @@ def gen_variance_adaptor():
             torch.from_numpy(x),
             torch.from_numpy(pmask.astype(np.float32))[:, None, :],
             torch.from_numpy(fmask.astype(np.float32))[:, None, :],
-            torch.from_numpy(durs)[:, None, :],
+            torch.from_numpy(durs)[:, None, :].float(),
             torch.from_numpy(log_cf0),
             torch.from_numpy(vuv),
             None,
@@ -238,8 +238,164 @@ def gen_variance_adaptor():
          x_inf=x_inf.numpy(), fmask_inf=fmask_inf.numpy(), **sd_to_np(va))
 
 
+# ---------------------------------------------------------------- top model
+def gen_model():
+    """Full PromptTTSMDNDurCFG on a tiny config, with a stub prompt encoder
+    (our BERT is parity-tested separately against transformers)."""
+    import torch.nn as nn
+    from promptttspp.models.prompttts_mdn_v2_final.model import PromptTTSMDNDurCFG
+    from promptttspp.layers.embedding import PhonemeEmbedding
+    from promptttspp.modules.esp import ConformerEncoder
+    from promptttspp.modules.variance_adaptor import (
+        VarianceAdaptor, Predictor, MDNPredictor)
+    from promptttspp.modules.frame_prior import FramePriorNetwork
+    from promptttspp.modules.style_encoder import StyleEncoder
+    from promptttspp.modules.mdn import MDNLayer
+    from promptttspp.modules.denoiser import DiffNet
+    from promptttspp.modules.diffusion import GaussianDiffusion
+
+    C, MEL = 48, 20
+
+    class StubPromptEncoder(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.proj = nn.Linear(8, C)
+
+        def forward(self, prompts, device):
+            x = torch.from_numpy(np.asarray(prompts, np.float32))
+            return self.proj(x).unsqueeze(-1)  # [B, C, 1]
+
+    torch.manual_seed(10)
+    model = PromptTTSMDNDurCFG(
+        phoneme_embedding=PhonemeEmbedding(90, C, do_scale=False,
+                                           init_normal=False),
+        encoder=ConformerEncoder(
+            idim=C, attention_dim=C, attention_heads=2, linear_units=96,
+            num_blocks=2, positionwise_layer_type="conv1d",
+            positionwise_conv_kernel_size=9, dropout_rate=0.0,
+            pos_enc_layer_type="rel_pos",
+            selfattention_layer_type="rel_selfattn", activation_type="swish",
+            macaron_style=True, use_cnn_module=True, cnn_module_kernel=7,
+            rel_pos_type="new"),
+        variance_adaptor=VarianceAdaptor(
+            duration_predictor=MDNPredictor(
+                channels=C, out_channels=1, kernel_size=3, dropout=0.0,
+                num_layers=2, num_gaussians=4, dim_wise=True, detach=True,
+                disable_amp=True),
+            pitch_predictor=Predictor(
+                channels=C, out_channels=2, kernel_size=5, dropout=0.0,
+                num_layers=5, detach=False),
+            pitch_emb=nn.Conv1d(1, C, 1),
+            frame_prior_network=FramePriorNetwork(
+                out_channels=C, hidden_channels=C, n_layers=3,
+                kernel_size=17, p_dropout=0.0)),
+        reference_encoder=StyleEncoder(
+            idim=MEL, gst_tokens=10, gst_heads=4, conv_layers=6,
+            conv_chans_list=(4, 4, 8, 8, 16, 16), conv_kernel_size=3,
+            conv_stride=2, gru_layers=1, gru_units=C, gst_token_dim=C),
+        prompt_encoder=StubPromptEncoder(),
+        style_mdn=MDNLayer(in_dim=C, out_dim=C, num_gaussians=4,
+                           dim_wise=True),
+        decoder=GaussianDiffusion(
+            in_dim=C, out_dim=MEL,
+            denoise_fn=DiffNet(in_dim=MEL, encoder_hidden_dim=C,
+                               residual_layers=4, residual_channels=32,
+                               kernel_size=3, dilation_cycle_length=4),
+            K_step=100, schedule_type="linear", norm_scale=6.0),
+        norm_style_emb=True,
+        mdn_disable_amp=True,
+    ).eval()
+
+    rng = np.random.RandomState(10)
+    B, Tp = 2, 9
+    plens = np.array([9, 6], np.int64)
+    pmask = np.arange(Tp)[None] < plens[:, None]
+    phoneme = (rng.randint(1, 90, size=(B, Tp)) * pmask).astype(np.int64)
+    durs = (rng.randint(1, 4, size=(B, Tp)) * pmask).astype(np.int64)
+    flens = durs.sum(1)
+    Tf = int(flens.max())
+    fmask = np.arange(Tf)[None] < flens[:, None]
+    mel = (rng.randn(B, MEL, Tf) * fmask[:, None, :]).astype(np.float32)
+    log_cf0 = (rng.randn(B, 1, Tf) * fmask[:, None, :]).astype(np.float32)
+    vuv = ((rng.rand(B, 1, Tf) > 0.3) * fmask[:, None, :]).astype(np.float32)
+    prompt_feat = rng.randn(B, 8).astype(np.float32)
+    t_fixed = np.array([13, 77], np.int64)
+    diff_noise = rng.randn(B, MEL, Tf).astype(np.float32)  # torch layout
+
+    orig_randint, orig_randn_like = torch.randint, torch.randn_like
+    torch.randint = lambda *a, **k: torch.from_numpy(t_fixed)
+    torch.randn_like = lambda x: torch.from_numpy(diff_noise)
+    try:
+        with torch.no_grad():
+            batch = (
+                torch.from_numpy(phoneme),
+                torch.from_numpy(durs)[:, None, :].float(),
+                torch.from_numpy(plens),
+                torch.from_numpy(mel),
+                torch.from_numpy(log_cf0),
+                torch.from_numpy(vuv),
+                None,
+                torch.from_numpy(flens),
+                prompt_feat,
+            )
+            losses = model(batch)
+    finally:
+        torch.randint, torch.randn_like = orig_randint, orig_randn_like
+
+    # deterministic batched inference: fixed x_T, zero noise in p_sample
+    with torch.no_grad():
+        style_x = model.prompt_encoder(prompt_feat, "cpu")
+        import torch.nn.functional as F
+        style_x = F.normalize(style_x, dim=1)
+        log_pi, log_sigma, mu = model.style_mdn(style_x.transpose(-1, -2))
+        style_emb = model.sample_style_emb(log_pi, log_sigma, mu,
+                                           noise_scale=0.0, use_max=True)
+        # replicate infer_batch (`model.py:261-325`) with explicit zero
+        # noise in the ancestral loop (p_sample's noise_fn default binds
+        # torch.randn at definition time, so patching doesn't reach it)
+        from promptttspp.utils.model import sequence_mask as t_seqmask
+
+        phone_mask_t = t_seqmask(torch.from_numpy(plens)).unsqueeze(1).float()
+        xh = model.phoneme_emb(torch.from_numpy(phoneme), phone_mask_t)
+        xh = model.encoder(xh.transpose(1, 2), torch.from_numpy(plens))
+        xh = xh.transpose(1, 2)
+        xh = xh + style_emb  # [B, C, 1] broadcast
+        xh, frame_mask_t = model.variance_adaptor.infer_batch(
+            xh, phone_mask_t, return_f0=False)
+        inf_flens = frame_mask_t.sum(dim=(1, 2)).long()
+
+        cond_t = xh  # [B, C, Tf]
+        Tf_inf = cond_t.shape[-1]
+        x_T = rng.randn(B, MEL, Tf_inf).astype(np.float32)
+        xs = torch.from_numpy(x_T)
+        zeros = lambda *shape, device=None: torch.zeros(shape, device=device)
+        for i in reversed(range(100)):
+            xs = model.decoder.p_sample(
+                xs, torch.full((B,), i, dtype=torch.long), cond_t,
+                noise_fn=zeros)
+        mel_out = model.decoder._denorm(xs.transpose(1, 2)).transpose(-1, -2)
+        mel_out = mel_out * frame_mask_t
+
+    save(
+        "model", phoneme=phoneme, plens=plens, durs=durs, flens=flens,
+        mel=mel, log_cf0=log_cf0, vuv=vuv, prompt_feat=prompt_feat,
+        t_fixed=t_fixed, diff_noise=diff_noise,
+        loss=np.float32(losses["loss"].item()),
+        loss_dec=np.float32(losses["dec"].item()),
+        loss_dur=np.float32(losses["dur"].item()),
+        loss_cf0=np.float32(losses["cf0"].item()),
+        loss_vuv=np.float32(losses["vuv"].item()),
+        loss_style=np.float32(losses["style"].item()),
+        style_emb=style_emb.numpy(),
+        mel_out=mel_out.numpy(), inf_flens=inf_flens.numpy(),
+        x_T=x_T,
+        **sd_to_np(model),
+    )
+
+
 if __name__ == "__main__":
     which = sys.argv[1:] or ["conformer", "mdn", "predictors", "frame_prior",
-                             "style_encoder", "diffusion", "variance_adaptor"]
+                             "style_encoder", "diffusion", "variance_adaptor",
+                             "model"]
     for name in which:
         globals()[f"gen_{name}"]()
