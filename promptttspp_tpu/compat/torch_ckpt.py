@@ -45,11 +45,14 @@ def _to_torch_key(path: Tuple[str, ...]) -> str:
         if "_" in p:
             head, _, tail = p.rpartition("_")
             if tail.isdigit() and head and not head[-1].isdigit():
-                # keep names like 'w_1', 'conv_0' ambiguous cases below
+                if head == "blocks":
+                    # anonymous nested ModuleList (BigVGAN MRF): bare index
+                    parts.append(tail)
+                    continue
                 if head in ("encoders", "layers", "convs", "norms", "ups",
-                            "resblocks", "noise_convs", "mlp", "adaptor",
-                            "blocks", "convs1", "convs2", "activations",
-                            "residual_layers"):
+                            "upsamples", "mrfs", "resblocks", "noise_convs",
+                            "mlp", "adaptor", "convs1", "convs2",
+                            "activations", "residual_layers"):
                     parts.append(f"{head}.{tail}")
                     continue
         parts.append(p)
@@ -85,6 +88,18 @@ def _convert_leaf(name: str, flax_val, torch_key_base: str,
         if w.ndim == 4:  # Conv2d [out, in/g, kh, kw] -> [kh, kw, in/g, out]
             return w.transpose(2, 3, 1, 0)
         raise ValueError(f"unexpected weight ndim for {full}: {w.shape}")
+    if name == "kernel_t":
+        # ConvTranspose1d [in, out, K] -> [K, in, out] (no flip; the module
+        # flips taps at call time)
+        full = f"{torch_key_base}.weight" if torch_key_base else "weight"
+        if full in sd:
+            w = np.asarray(sd[full])
+        else:
+            w = fold_weight_norm(
+                np.asarray(sd[full.replace("weight", "weight_g")]),
+                np.asarray(sd[full.replace("weight", "weight_v")]),
+            )
+        return w.transpose(2, 0, 1)
     if name == "scale":
         return get("weight")
     if name == "bias":
@@ -93,8 +108,12 @@ def _convert_leaf(name: str, flax_val, torch_key_base: str,
         return get("weight")
     if name in ("gamma", "beta"):
         return get(name).reshape(np.shape(flax_val))
-    # identity-named leaves (pos_bias_u, gst_embs, GRU weights, alpha, ...)
-    return get(name)
+    # identity-named leaves (pos_bias_u, gst_embs, GRU weights, alpha, ...);
+    # squeeze torch's broadcast shapes like [1, C, 1] down to flax's [C]
+    arr = get(name)
+    if arr.shape != tuple(np.shape(flax_val)) and arr.size == np.size(flax_val):
+        arr = arr.reshape(np.shape(flax_val))
+    return arr
 
 
 def convert_tree(

@@ -1,0 +1,152 @@
+"""BigVGAN generator.
+
+Behavioral equivalent of
+`/root/reference/promptttspp/vocoders/bigvgan.py:20-139`: mel [B, T, 80] ->
+conv k7 -> 4x [ConvTranspose1d upsample (6,5,4,2 = x240) -> mean of 3
+AMPBlocks (k 3/7/11, dilations 1/3/5)] -> anti-aliased snake -> conv k7 ->
+tanh -> wav [B, 240*T, 1].
+
+Weight-norm is folded at checkpoint-conversion time
+(compat.torch_ckpt.fold_weight_norm), equivalent to the reference's
+``remove_weight_norm`` before inference. Channel-last throughout; the
+ConvTranspose1d keeps its parameter in a torch-derived layout
+(``kernel_t`` [K, in, out]) so conversion is a fixed transpose.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from promptttspp_tpu.nn.layers import conv1d
+from promptttspp_tpu.vocoders.activations import AntiAliasActivation
+
+
+class ConvTranspose1d(nn.Module):
+    """torch-semantics transposed conv over [B, T, C].
+
+    out_len = (T-1)*stride - 2*padding + kernel_size + output_padding.
+    Parameter ``kernel_t`` is [K, in, out] (= torch [in, out, K]
+    transposed); taps are flipped at call time, which XLA folds into the
+    convolution.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int
+    output_padding: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        k = self.param(
+            "kernel_t",
+            nn.initializers.lecun_normal(batch_axis=(0,)),
+            (self.kernel_size, in_features, self.features),
+        )
+        w = jnp.flip(k, 0)
+        pad_l = self.kernel_size - 1 - self.padding
+        pad_r = pad_l + self.output_padding
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=(1,), padding=[(pad_l, pad_r)],
+            lhs_dilation=(self.stride,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+        return y
+
+
+class AMPLayer(nn.Module):
+    """AA-snake -> dilated conv -> AA-snake -> conv, residual
+    (`bigvgan.py:20-50`)."""
+
+    channels: int
+    kernel_size: int
+    dilation: int
+
+    @nn.compact
+    def __call__(self, x):
+        y = AntiAliasActivation(self.channels, name="act1")(x)
+        y = conv1d(self.channels, self.kernel_size, dilation=self.dilation,
+                   name="conv1")(y)
+        y = AntiAliasActivation(self.channels, name="act2")(y)
+        y = conv1d(self.channels, self.kernel_size, name="conv2")(y)
+        return x + y
+
+
+class AMPBlock(nn.Module):
+    """Stack of AMPLayers over one kernel size (`bigvgan.py:53-68`)."""
+
+    channels: int
+    kernel_size: int
+    dilations: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dilations):
+            x = AMPLayer(self.channels, self.kernel_size, d,
+                         name=f"layers_{i}")(x)
+        return x
+
+
+class MRFStage(nn.Module):
+    """One upsample stage's multi-receptive-field block set."""
+
+    channels: int
+    resblock_kernel_sizes: Sequence[int]
+    resblock_dilations: Sequence[Sequence[int]]
+
+    @nn.compact
+    def __call__(self, x):
+        acc = 0.0
+        for j, (k, d) in enumerate(
+            zip(self.resblock_kernel_sizes, self.resblock_dilations)
+        ):
+            acc = acc + AMPBlock(self.channels, k, tuple(d), name=f"blocks_{j}")(x)
+        return acc / len(self.resblock_kernel_sizes)
+
+
+class BigVGAN(nn.Module):
+    in_channel: int = 80
+    upsample_initial_channel: int = 512
+    upsample_rates: Sequence[int] = (6, 5, 4, 2)
+    upsample_kernel_sizes: Sequence[int] = (12, 10, 8, 4)
+    resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
+    resblock_dilations: Sequence[Sequence[int]] = ((1, 3, 5),) * 3
+
+    def setup(self):
+        self.conv_pre = conv1d(self.upsample_initial_channel, 7,
+                               name="conv_pre")
+        ups, mrfs = [], []
+        for i, (u, k) in enumerate(
+            zip(self.upsample_rates, self.upsample_kernel_sizes)
+        ):
+            ch = self.upsample_initial_channel // (2 ** (i + 1))
+            ups.append(ConvTranspose1d(
+                features=ch, kernel_size=k, stride=u,
+                padding=u // 2 + u % 2, output_padding=u % 2,
+                name=f"upsamples_{i}"))
+            mrfs.append(MRFStage(
+                ch, self.resblock_kernel_sizes, self.resblock_dilations,
+                name=f"mrfs_{i}"))
+        self.upsamples = ups
+        self.mrfs = mrfs
+        last_ch = self.upsample_initial_channel // (2 ** len(self.upsample_rates))
+        self.act_post = AntiAliasActivation(last_ch, name="act_post")
+        self.conv_post = conv1d(1, 7, name="conv_post")
+
+    def __call__(self, mel):
+        """mel [B, T, in_channel] -> wav [B, T * prod(rates), 1]."""
+        x = self.conv_pre(mel)
+        for up, mrf in zip(self.upsamples, self.mrfs):
+            x = up(x)
+            x = mrf(x)
+        x = self.act_post(x)
+        x = self.conv_post(x)
+        return jnp.tanh(x)

@@ -1,0 +1,94 @@
+"""Neural source-filter harmonic excitation.
+
+Behavioral equivalent of
+`/root/reference/promptttspp/vocoders/nsf.py:13-206`: per-harmonic sine
+generation via cumulative phase (with the reference's float-overflow shift
+trick, reproduced exactly), uv gating, noise injection, Linear+tanh merge.
+
+The phase accumulation over the full waveform is a ``jnp.cumsum`` (XLA
+lowers it to a log-depth parallel scan on TPU — no sequential loop).
+Randomness (initial harmonic phases, additive noise) comes from an
+explicit rng; ``deterministic=True`` zeroes both for parity tests and
+reproducible synthesis.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class SineGen(nn.Module):
+    """(`nsf.py:13-148`, flag_for_pulse=False path — the only one used)."""
+
+    samp_rate: int
+    harmonic_num: int = 0
+    sine_amp: float = 0.1
+    noise_std: float = 0.003
+    voiced_threshold: float = 0.0
+
+    def _f02sine(self, f0_values, rand_ini):
+        """f0_values [B, T, D] -> sines [B, T, D]."""
+        rad = (f0_values / self.samp_rate) % 1.0
+        rad = rad.at[:, 0, :].add(rand_ini)
+        # overflow shift: subtract 1 whenever the running phase wraps, so the
+        # cumsum stays small (`nsf.py:74-84`)
+        tmp = jnp.cumsum(rad, axis=1) % 1.0
+        wrapped = (tmp[:, 1:, :] - tmp[:, :-1, :]) < 0
+        shift = jnp.pad(-wrapped.astype(rad.dtype), ((0, 0), (1, 0), (0, 0)))
+        return jnp.sin(jnp.cumsum(rad + shift, axis=1) * (2 * np.pi))
+
+    def __call__(self, f0, rng=None, deterministic: bool = False):
+        """f0 [B, T, 1] -> (sine_waves [B,T,D], uv [B,T,1], noise)."""
+        B, T, _ = f0.shape
+        D = self.harmonic_num + 1
+        harmonics = jnp.arange(1, D + 1, dtype=f0.dtype)  # k-th harmonic = k*f0
+        f0_buf = f0 * harmonics[None, None, :]
+
+        if deterministic:
+            rand_ini = jnp.zeros((B, D), f0.dtype)
+            noise_unit = jnp.zeros((B, T, D), f0.dtype)
+        else:
+            r1, r2 = jax.random.split(rng)
+            rand_ini = jax.random.uniform(r1, (B, D), f0.dtype)
+            rand_ini = rand_ini.at[:, 0].set(0.0)
+            noise_unit = jax.random.normal(r2, (B, T, D), f0.dtype)
+
+        sine_waves = self._f02sine(f0_buf, rand_ini) * self.sine_amp
+        uv = (f0 > self.voiced_threshold).astype(f0.dtype)
+        noise_amp = uv * self.noise_std + (1.0 - uv) * self.sine_amp / 3.0
+        noise = noise_amp * noise_unit
+        sine_waves = sine_waves * uv + noise
+        return sine_waves, uv, noise
+
+
+class SourceModuleHnNSF(nn.Module):
+    """Harmonics -> single excitation (`nsf.py:152-206`)."""
+
+    sampling_rate: int
+    harmonic_num: int = 0
+    sine_amp: float = 0.1
+    add_noise_std: float = 0.003
+    voiced_threshod: float = 0.0
+
+    @nn.compact
+    def __call__(self, f0, rng=None, deterministic: bool = False):
+        """f0 [B, T, 1] -> (sine_merge [B,T,1], noise [B,T,1], uv [B,T,1])."""
+        sin_gen = SineGen(
+            self.sampling_rate, self.harmonic_num, self.sine_amp,
+            self.add_noise_std, self.voiced_threshod, name="l_sin_gen")
+        if deterministic:
+            sine_rng, noise_rng = None, None
+        else:
+            sine_rng, noise_rng = jax.random.split(rng)
+        sine_wavs, uv, _ = sin_gen(f0, sine_rng, deterministic)
+        sine_merge = jnp.tanh(
+            nn.Dense(1, name="l_linear")(sine_wavs))
+        if deterministic:
+            noise = jnp.zeros_like(uv)
+        else:
+            noise = jax.random.normal(noise_rng, uv.shape, uv.dtype) \
+                * self.sine_amp / 3.0
+        return sine_merge, noise, uv

@@ -393,9 +393,47 @@ def gen_model():
     )
 
 
+
+
+# ---------------------------------------------------------------- vocoder
+def gen_vocoder():
+    from promptttspp.vocoders.bigvgan import BigVGAN
+    from promptttspp.vocoders.bigvgan_f0 import F0AwareBigVGAN
+
+    torch.manual_seed(12)
+    bv = BigVGAN(in_channel=20, upsample_initial_channel=32,
+                 upsample_rates=[6, 5, 4, 2],
+                 upsample_kernel_sizes=[12, 10, 8, 4],
+                 resblock_kernel_sizes=[3, 7],
+                 resblock_dilations=[[1, 3], [1, 3]]).eval()
+    rng = np.random.RandomState(12)
+    mel = rng.randn(1, 20, 13).astype(np.float32)
+    with torch.no_grad():
+        wav = bv(torch.from_numpy(mel))
+    save("bigvgan", mel=mel, wav=wav.numpy(), **sd_to_np(bv))
+
+    torch.manual_seed(13)
+    fbv = F0AwareBigVGAN(sampling_rate=24000, harmonic_num=3, in_channel=20,
+                         upsample_initial_channel=32,
+                         upsample_rates=[6, 5, 4, 2],
+                         upsample_kernel_sizes=[12, 10, 8, 4],
+                         resblock_kernel_sizes=[3, 7],
+                         resblock_dilations=[[1, 3], [1, 3]]).eval()
+    f0 = np.zeros((1, 1, 13), np.float32)
+    f0[0, 0, 3:11] = 180.0
+    orig_rand, orig_randn_like = torch.rand, torch.randn_like
+    torch.rand = lambda *a, **k: torch.zeros(a if not isinstance(a[0], (list, tuple)) else a[0], **{kk: vv for kk, vv in k.items() if kk != 'device'})
+    torch.randn_like = lambda x: torch.zeros_like(x)
+    try:
+        with torch.no_grad():
+            wav_f0 = fbv(torch.from_numpy(mel), torch.from_numpy(f0))
+    finally:
+        torch.rand, torch.randn_like = orig_rand, orig_randn_like
+    save("bigvgan_f0", mel=mel, f0=f0, wav=wav_f0.numpy(), **sd_to_np(fbv))
+
 if __name__ == "__main__":
     which = sys.argv[1:] or ["conformer", "mdn", "predictors", "frame_prior",
                              "style_encoder", "diffusion", "variance_adaptor",
-                             "model"]
+                             "model", "vocoder"]
     for name in which:
         globals()[f"gen_{name}"]()
