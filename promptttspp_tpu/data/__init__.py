@@ -1,0 +1,10 @@
+from promptttspp_tpu.data.batching import ShuffleBatchSampler, batch_by_size
+from promptttspp_tpu.data.collate import PromptTTSCollator
+from promptttspp_tpu.data.dataset import AllWithSpkPromptNormDataset
+
+__all__ = [
+    "AllWithSpkPromptNormDataset",
+    "PromptTTSCollator",
+    "ShuffleBatchSampler",
+    "batch_by_size",
+]

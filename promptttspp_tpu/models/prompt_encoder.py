@@ -24,13 +24,12 @@ class PromptEncoder(nn.Module):
     out_channels: int = 256
     bert_config: Optional[BertConfig] = None
 
-    def setup(self):
-        cfg = self.bert_config or BertConfig(hidden_size=self.in_channels)
-        self.bert = BertModel(cfg, name="bert")
-
+    @nn.compact
     def __call__(self, input_ids, attention_mask, train: bool = False):
         """[B, L] ids + mask -> [B, 1, out_channels]."""
-        hidden = self.bert(input_ids, attention_mask, deterministic=not train)
+        cfg = self.bert_config or BertConfig(hidden_size=self.in_channels)
+        hidden = BertModel(cfg, name="bert")(
+            input_ids, attention_mask, deterministic=not train)
         cls = hidden[:, 0, :]
         x = nn.relu(nn.Dense(self.mid_channels, name="adaptor_0")(cls))
         x = nn.relu(nn.Dense(self.mid_channels, name="adaptor_2")(x))

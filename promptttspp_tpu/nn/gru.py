@@ -33,7 +33,7 @@ class GRU(nn.Module):
         """xs [B, T, I]; lengths [B] or None -> h_last of top layer [B, H]."""
         B, T, _ = xs.shape
         H = self.hidden_size
-        k = float(1.0 / jnp.sqrt(H))
+        k = 1.0 / (H ** 0.5)
 
         def init(key, shape, dtype=jnp.float32):  # torch U(-k, k)
             return jax.random.uniform(key, shape, dtype, -k, k)

@@ -1,0 +1,247 @@
+"""Training runtime: the TPU-native counterpart of the reference's
+``TTSTrainer`` (`/root/reference/promptttspp/trainers/tts.py:36-258`).
+
+Differences by design (SURVEY.md §5.8):
+- single-program SPMD over a ``jax.sharding.Mesh`` instead of
+  mp.spawn+DDP: the global token-bucketed batch is sharded on the mesh's
+  data axis; gradient mean is an XLA collective;
+- shape-bucketed padding bounds recompilation (the torch loop pads every
+  batch to its own max);
+- checkpointing via orbax with the reference's cadence/contents;
+- same observability surface: ``logs/train.log``, ``logs/loss.csv``,
+  TensorBoard scalars per epoch, resolved-config snapshot.
+"""
+
+from __future__ import annotations
+
+import logging
+import random
+import time
+from pathlib import Path
+from typing import Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from promptttspp_tpu.config import Config, instantiate
+from promptttspp_tpu.data.batching import ShuffleBatchSampler, batch_by_size
+from promptttspp_tpu.data.collate import PromptTTSCollator
+from promptttspp_tpu.parallel.mesh import (
+    make_mesh, pad_batch_to_multiple, shard_batch)
+from promptttspp_tpu.train import checkpoint as ckpt_lib
+from promptttspp_tpu.train.state import (
+    bert_freeze_mask, create_train_state, make_eval_step, make_optimizer,
+    make_train_step)
+from promptttspp_tpu.train.tracker import Tracker
+
+MODEL_BATCH_KEYS = (
+    "phoneme", "duration", "phone_lengths", "mel", "log_cf0", "vuv",
+    "energy", "frame_lengths", "prompt_ids", "prompt_mask",
+)
+
+
+def model_batch(batch: Dict) -> Dict:
+    return {k: batch[k] for k in MODEL_BATCH_KEYS if k in batch}
+
+
+def seed_everything(seed: int):
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+class TTSTrainer:
+    """Composes model/optimizer/data from a Hydra-compatible config and
+    runs the epoch loop. Datasets and tokenizer are injectable for tests
+    (`TTSTrainer(cfg, train_ds=..., valid_ds=..., tokenizer=...)`)."""
+
+    def __init__(self, cfg: Config, train_ds=None, valid_ds=None,
+                 tokenizer=None, model=None, freeze_bert: bool = True):
+        self.cfg = cfg
+        self.train_ds = train_ds
+        self.valid_ds = valid_ds
+        self.tokenizer = tokenizer
+        self._model = model
+        self.freeze_bert = freeze_bert
+
+        self.output_dir = Path(cfg.get("output_dir", "./out"))
+        self.log_dir = self.output_dir / "logs"
+        self.ckpt_dir = self.output_dir / "ckpt"
+
+    # ------------------------------------------------------------- setup
+    def _build_model(self):
+        if self._model is not None:
+            return self._model
+        import promptttspp_tpu.models  # noqa: F401 (registers aliases)
+
+        return instantiate(self.cfg.model)
+
+    def _build_datasets(self):
+        if self.train_ds is None:
+            self.train_ds = instantiate(self.cfg.dataset.train)
+        if self.valid_ds is None and self.cfg.select("dataset.valid"):
+            self.valid_ds = instantiate(self.cfg.dataset.valid)
+
+    def _setup_logging(self):
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        self.ckpt_dir.mkdir(parents=True, exist_ok=True)
+        (self.output_dir / "config.yaml").write_text(self.cfg.to_yaml())
+        logger = logging.getLogger("promptttspp_tpu.train")
+        logger.setLevel(logging.INFO)
+        if not logger.handlers:
+            fh = logging.FileHandler(self.log_dir / "train.log")
+            fh.setFormatter(logging.Formatter(
+                "[%(asctime)s][%(levelname)s][%(module)s | %(lineno)s] "
+                "%(message)s"))
+            logger.addHandler(fh)
+            sh = logging.StreamHandler()
+            logger.addHandler(sh)
+        self.logger = logger
+        try:
+            from tensorboardX import SummaryWriter
+
+            self.writer = SummaryWriter(str(self.log_dir))
+        except Exception:  # pragma: no cover - tensorboardX optional
+            self.writer = None
+
+    # --------------------------------------------------------------- run
+    def _batches(self, ds, shuffle: bool, seed: int, n_data: int):
+        train_cfg = self.cfg.get("dataset", Config())
+        if train_cfg.get("dynamic_batch", True):
+            indices = ds.ordered_indices()
+            batches = batch_by_size(
+                indices, ds.num_tokens,
+                max_tokens=train_cfg.get("max_tokens", 10000),
+                required_batch_size_multiple=n_data,
+            )
+            # keep only world-size-divisible batches (`tts.py:138-142`)
+            batches = [b for b in batches if len(b) % n_data == 0] or batches
+        else:
+            bs = self.cfg.select("train.batch_size", 32)
+            idx = list(range(len(ds)))
+            batches = [idx[i:i + bs] for i in range(0, len(idx), bs)]
+        return ShuffleBatchSampler(batches, shuffle=shuffle, seed=seed)
+
+    def run(self, num_epochs: Optional[int] = None):
+        cfg = self.cfg
+        seed = cfg.select("train.seed", 42)
+        seed_everything(seed)
+        self._setup_logging()
+        self._build_datasets()
+
+        mesh = make_mesh()
+        n_data = mesh.shape["data"]
+        model = self._build_model()
+
+        collator = PromptTTSCollator(tokenizer=self.tokenizer)
+        sampler = self._batches(self.train_ds, True, seed, n_data)
+
+        # init from the first batch's shapes
+        first = collator([self.train_ds[i] for i in next(iter(sampler))])
+        first = pad_batch_to_multiple(first, n_data)
+
+        rng = jax.random.PRNGKey(seed)
+        # build optimizer after params exist (freeze mask needs the tree)
+        tmp_tx = make_optimizer(
+            base_lr=cfg.select("optimizer.lr", 1e-3),
+            warmup_steps=cfg.select("train.lr_scheduler.warmup_steps", 4000),
+            betas=tuple(cfg.select("optimizer.betas", [0.9, 0.98])),
+            weight_decay=cfg.select("optimizer.weight_decay", 0.0),
+        )
+        state = create_train_state(model, model_batch(first), rng, tmp_tx)
+        if self.freeze_bert and self.cfg.select(
+                "model.prompt_encoder._target_"):
+            n_layers = 12
+            mask = bert_freeze_mask(state.params, n_layers)
+            tx = make_optimizer(
+                base_lr=cfg.select("optimizer.lr", 1e-3),
+                warmup_steps=cfg.select(
+                    "train.lr_scheduler.warmup_steps", 4000),
+                betas=tuple(cfg.select("optimizer.betas", [0.9, 0.98])),
+                weight_decay=cfg.select("optimizer.weight_decay", 0.0),
+                freeze_mask=mask,
+            )
+            state = state.replace(opt_state=tx.init(state.params))
+        else:
+            tx = tmp_tx
+
+        n_params = sum(x.size for x in jax.tree.leaves(state.params))
+        self.logger.info(f"number of trainable params: {n_params / 1e6:.3f} M")
+
+        # resume / warm start (`tts.py:95-114`)
+        start_epoch = 1
+        if cfg.get("ckpt_path"):
+            state, last_epoch = ckpt_lib.restore_checkpoint(
+                cfg.ckpt_path, state)
+            start_epoch = last_epoch + 1
+            self.logger.info(f"resumed from {cfg.ckpt_path} at epoch "
+                             f"{last_epoch}")
+        elif cfg.get("pretrained"):
+            state = ckpt_lib.load_pretrained_params(cfg.pretrained, state)
+            self.logger.info(f"warm start from {cfg.pretrained}")
+
+        train_step = make_train_step(model, tx)
+        eval_step = make_eval_step(model)
+        step_rng = jax.random.PRNGKey(seed + 1)
+
+        num_epochs = num_epochs or cfg.select("train.num_epochs", 1000)
+        save_interval = cfg.select("train.save_interval", 20)
+        tracker = Tracker(str(self.log_dir / "loss.csv"))
+        global_step = int(state.step)
+
+        with mesh:
+            for epoch in range(start_epoch, num_epochs + 1):
+                tracker.reset()
+                t0 = time.time()
+                n_frames = 0
+                for idx_batch in sampler:
+                    items = [self.train_ds[i] for i in idx_batch]
+                    batch = collator(items)
+                    batch = pad_batch_to_multiple(batch, n_data)
+                    n_frames += int(np.sum(batch["frame_lengths"]))
+                    sharded = shard_batch(model_batch(batch), mesh)
+                    state, metrics = train_step(state, sharded, step_rng)
+                    global_step += 1
+                    tracker.update(
+                        {k: float(v) for k, v in metrics.items()})
+                dt = time.time() - t0
+                avgs = tracker.averages()
+                fps = n_frames / max(dt, 1e-9)
+                self.logger.info(
+                    f"epoch {epoch}: " +
+                    ", ".join(f"{k}={v:.4f}" for k, v in avgs.items()) +
+                    f", frames/s={fps:.1f}")
+                if self.writer is not None:
+                    for k, v in avgs.items():
+                        self.writer.add_scalar(f"train/{k}", v, global_step)
+                    self.writer.add_scalar("perf/frames_per_sec", fps,
+                                           global_step)
+
+                if self.valid_ds is not None:
+                    vtracker = Tracker()
+                    vsampler = self._batches(self.valid_ds, False, seed,
+                                             n_data)
+                    for idx_batch in vsampler:
+                        items = [self.valid_ds[i] for i in idx_batch]
+                        batch = pad_batch_to_multiple(
+                            collator(items), n_data)
+                        sharded = shard_batch(model_batch(batch), mesh)
+                        out = eval_step(state, sharded, step_rng)
+                        vtracker.update(
+                            {k: float(v) for k, v in out.items()})
+                    vavgs = vtracker.averages()
+                    self.logger.info(
+                        f"epoch {epoch} valid: " +
+                        ", ".join(f"{k}={v:.4f}" for k, v in vavgs.items()))
+                    if self.writer is not None:
+                        for k, v in vavgs.items():
+                            self.writer.add_scalar(f"valid/{k}", v,
+                                                   global_step)
+
+                ckpt_lib.save_checkpoint(self.ckpt_dir / "last", state, epoch)
+                if epoch % save_interval == 0:
+                    ckpt_lib.save_checkpoint(
+                        self.ckpt_dir / f"epoch-{epoch:04d}", state, epoch)
+                tracker.write(epoch)
+
+        return state
