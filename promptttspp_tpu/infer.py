@@ -1,0 +1,156 @@
+"""High-level synthesis: text (+ style prompt or reference mel) -> waveform.
+
+Counterpart of the reference's inference plumbing
+(`/root/reference/app.py:49-82`, `egs/proposed/bin/synthesize.py:93-221`):
+phoneme sequence -> model.infer -> F0 zero-phase lowpass (fs=100, 20 Hz)
+and vuv gating -> mel denormalization -> F0-aware BigVGAN.
+
+TPU-native two-phase shape handling: a phone-level duration pre-pass picks
+the frame bucket, then the frame-level pipeline runs under one of a small
+set of compiled shapes (phone buckets x frame buckets).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from promptttspp_tpu.data.batching import bucket_shape
+from promptttspp_tpu.ops.filters import lowpass_filter
+
+
+class Synthesizer:
+    def __init__(
+        self,
+        model,
+        variables: Dict,
+        vocoder=None,
+        vocoder_variables: Optional[Dict] = None,
+        mel_stats: Optional[Dict] = None,
+        tokenizer=None,
+        phone_quantum: int = 16,
+        frame_quantum: int = 128,
+        max_frames_cap: int = 2048,
+    ):
+        self.model = model
+        self.variables = variables
+        self.vocoder = vocoder
+        self.vocoder_variables = vocoder_variables
+        self.mel_stats = mel_stats or {"mean": 0.0, "std": 1.0}
+        self.tokenizer = tokenizer
+        self.phone_quantum = phone_quantum
+        self.frame_quantum = frame_quantum
+        self.max_frames_cap = max_frames_cap
+
+        # variables are explicit jit arguments: closure-captured params
+        # would be inlined as giant HLO constants (slow/fragile compiles)
+        self._dur_fn = jax.jit(self._duration_pass,
+                               static_argnames=("use_max",))
+        self._infer_fn = jax.jit(
+            self._infer_pass,
+            static_argnames=("max_frames", "use_max", "noise_scale"))
+        self._voc_fn = None
+        if vocoder is not None:
+            self._voc_fn = jax.jit(
+                lambda vv, mel, f0: vocoder.apply(
+                    vv, mel, f0, deterministic=True))
+
+    # ---------------------------------------------------------- jit bodies
+    def _duration_pass(self, variables, phoneme, phone_lengths, prompt_ids,
+                       prompt_mask, use_max, style_rng):
+        return self.model.apply(
+            variables, phoneme, phone_lengths,
+            prompt_ids=prompt_ids, prompt_mask=prompt_mask,
+            use_max=use_max, noise_scale=0.0, style_rng=style_rng,
+            method=type(self.model).infer_frame_lengths)
+
+    def _infer_pass(self, variables, phoneme, phone_lengths, prompt_ids,
+                    prompt_mask, use_max, noise_scale, style_rng,
+                    diffusion_rng, max_frames):
+        return self.model.apply(
+            variables, phoneme, phone_lengths, max_frames,
+            prompt_ids=prompt_ids, prompt_mask=prompt_mask,
+            use_max=use_max, noise_scale=noise_scale,
+            style_rng=style_rng, diffusion_rng=diffusion_rng,
+            return_f0=True, method=type(self.model).infer)
+
+    # ------------------------------------------------------------- helpers
+    def _pad_phonemes(self, seqs: Sequence[Sequence[int]]):
+        B = len(seqs)
+        Tp = bucket_shape(max(len(s) for s in seqs), self.phone_quantum)
+        phoneme = np.zeros((B, Tp), np.int32)
+        lens = np.zeros((B,), np.int32)
+        for i, s in enumerate(seqs):
+            phoneme[i, : len(s)] = s
+            lens[i] = len(s)
+        return jnp.asarray(phoneme), jnp.asarray(lens)
+
+    def _encode_prompts(self, prompts: Sequence[str]):
+        assert self.tokenizer is not None, "tokenizer required for prompts"
+        ids, mask = self.tokenizer.batch_encode(prompts)
+        L = bucket_shape(ids.shape[1], 16)
+        ids_p = np.full((ids.shape[0], L), self.tokenizer.pad_id, np.int32)
+        mask_p = np.zeros((ids.shape[0], L), np.int32)
+        ids_p[:, : ids.shape[1]] = ids
+        mask_p[:, : ids.shape[1]] = mask
+        return jnp.asarray(ids_p), jnp.asarray(mask_p)
+
+    # ---------------------------------------------------------------- API
+    def synthesize(
+        self,
+        phoneme_seqs: Sequence[Sequence[int]],
+        prompts: Optional[Sequence[str]] = None,
+        use_max: bool = True,
+        noise_scale: float = 0.5,
+        seed: int = 0,
+    ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+        """Returns (list of wav float arrays, list of mel [T,80] arrays)."""
+        phoneme, plens = self._pad_phonemes(phoneme_seqs)
+        prompt_ids, prompt_mask = self._encode_prompts(prompts)
+        style_rng = jax.random.PRNGKey(seed)
+        diffusion_rng = jax.random.PRNGKey(seed + 1)
+
+        frame_lens = self._dur_fn(self.variables, phoneme, plens, prompt_ids,
+                                  prompt_mask, use_max, style_rng)
+        max_frames = min(
+            bucket_shape(int(np.max(np.asarray(frame_lens))),
+                         self.frame_quantum),
+            self.max_frames_cap)
+
+        mel, flens, log_cf0, vuv = self._infer_fn(
+            self.variables, phoneme, plens, prompt_ids, prompt_mask,
+            use_max, noise_scale, style_rng, diffusion_rng,
+            max_frames=max_frames)
+
+        # f0 smoothing + gating (`app.py:76-79`)
+        log_cf0 = lowpass_filter(log_cf0[..., 0], fs=100, cutoff=20)
+        f0 = jnp.exp(log_cf0)
+        f0 = jnp.where(vuv[..., 0] > 0.5, f0, 0.0)[..., None]
+
+        # denormalize mel (`app.py:80`)
+        mel_denorm = mel * self.mel_stats["std"] + self.mel_stats["mean"]
+
+        wavs, mels = [], []
+        flens_np = np.asarray(flens)
+        if self._voc_fn is not None:
+            wav = np.asarray(
+                self._voc_fn(self.vocoder_variables, mel_denorm, f0))
+        else:
+            wav = None
+        for i in range(len(phoneme_seqs)):
+            n = int(flens_np[i])
+            mels.append(np.asarray(mel_denorm)[i, :n])
+            if wav is not None:
+                wavs.append(wav[i, : n * 240, 0])
+        return wavs, mels
+
+
+def write_wav(path, wav: np.ndarray, sample_rate: int = 24000):
+    from scipy.io import wavfile
+
+    wav = np.clip(wav, -1.0, 1.0)
+    wavfile.write(path, sample_rate, (wav * 32767.0).astype(np.int16))

@@ -23,11 +23,18 @@ class PromptEncoder(nn.Module):
     mid_channels: int = 512
     out_channels: int = 256
     bert_config: Optional[BertConfig] = None
+    # dryrun/testing knobs; defaults = bert-base
+    bert_num_layers: int = 12
+    bert_num_heads: int = 12
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, train: bool = False):
         """[B, L] ids + mask -> [B, 1, out_channels]."""
-        cfg = self.bert_config or BertConfig(hidden_size=self.in_channels)
+        cfg = self.bert_config or BertConfig(
+            hidden_size=self.in_channels,
+            num_hidden_layers=self.bert_num_layers,
+            num_attention_heads=self.bert_num_heads,
+            intermediate_size=4 * self.in_channels)
         hidden = BertModel(cfg, name="bert")(
             input_ids, attention_mask, deterministic=not train)
         cls = hidden[:, 0, :]

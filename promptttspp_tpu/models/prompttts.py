@@ -199,6 +199,48 @@ class PromptTTSMDNDurCFG(nn.Module):
             return mel, frame_lengths, log_cf0, vuv
         return mel, frame_lengths
 
+    def infer_frame_lengths(
+        self,
+        phoneme,
+        phone_lengths,
+        prompt_ids=None,
+        prompt_mask=None,
+        reference_mel=None,
+        ref_lengths=None,
+        use_max: bool = True,
+        noise_scale: float = 0.0,
+        style_rng=None,
+    ):
+        """Cheap duration-only pre-pass (phone-level compute only) so the
+        caller can pick a frame bucket before running the frame-level
+        pipeline — the two-phase answer to XLA static shapes."""
+        x, phone_mask = self._encode_phones(phoneme, phone_lengths,
+                                            train=False)
+        if prompt_ids is not None:
+            style_emb = self.prompt_encoder(prompt_ids, prompt_mask,
+                                            train=False)
+            if self.norm_style_emb:
+                style_emb = _l2_normalize(style_emb, axis=-1)
+            if self.style_mdn is not None:
+                p_in = (style_emb.astype(jnp.float32)
+                        if self.mdn_disable_amp else style_emb)
+                log_pi, log_sigma, mu = self.style_mdn(p_in)
+                style_emb = self._style_from_prompt_dist(
+                    log_pi, log_sigma, mu, use_max, noise_scale,
+                    rng=style_rng)
+        else:
+            style_emb = self.reference_encoder(reference_mel, ref_lengths,
+                                               train=False)
+            if self.norm_style_emb:
+                style_emb = _l2_normalize(style_emb, axis=-1)
+        x = x + style_emb
+        pmask = phone_mask[:, :, None].astype(x.dtype)
+        log_duration = self.variance_adaptor.duration_predictor \
+            .infer_log_duration(x, pmask)
+        duration = jnp.clip(jnp.round(jnp.exp(log_duration)), 1, None)
+        duration = (duration[..., 0] * phone_mask).astype(jnp.int32)
+        return jnp.sum(duration, axis=-1)
+
     def generate_style_emb(self, prompt_ids, prompt_mask, reference_mel,
                            ref_lengths, use_max: bool = True,
                            noise_scale: float = 1.0, style_rng=None):

@@ -79,7 +79,8 @@ def create_train_state(model, batch, rng, tx) -> TrainState:
         "diffusion": jax.random.fold_in(rng, 2),
         "style": jax.random.fold_in(rng, 3),
     }
-    variables = model.init(init_rngs, batch, train=True)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        init_rngs, batch, train=True)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
