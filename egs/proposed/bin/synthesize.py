@@ -28,6 +28,11 @@ def load_variables(path):
     path = Path(path)
     if path.is_dir():
         tree = ocp.PyTreeCheckpointer().restore(path.absolute())
+        # host numpy: restored arrays carry the saving topology's sharding,
+        # which clashes with jit outputs on a different device set
+        import jax
+
+        tree = jax.tree.map(np.asarray, tree)
         return {"params": tree["params"],
                 "batch_stats": tree.get("batch_stats", {})}
     raise ValueError(
