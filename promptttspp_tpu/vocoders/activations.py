@@ -113,19 +113,37 @@ class Snake(nn.Module):
 
     channels: int
 
-    @nn.compact
+    def setup(self):
+        self.alpha = self.param(
+            "alpha", nn.initializers.zeros, (self.channels,))
+
     def __call__(self, x):
-        alpha = self.param("alpha", nn.initializers.zeros, (self.channels,))
-        return snake(x, alpha)
+        return snake(x, self.alpha)
 
 
 class AntiAliasActivation(nn.Module):
-    """up2 -> snake -> down2 (`activations.py:22-33`). [B, T, C]."""
+    """up2 -> snake -> down2 (`activations.py:22-33`). [B, T, C].
+
+    On TPU the sandwich runs as one fused Pallas kernel
+    (ops.pallas.snake) — identical numerics, ~3x less HBM traffic;
+    elsewhere (and under ``use_pallas=False``) the three-op XLA path.
+    """
 
     channels: int
+    use_pallas: bool = None  # None = auto (TPU only)
 
     @nn.compact
     def __call__(self, x):
+        alpha_holder = Snake(self.channels, name="act")
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            import jax
+
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from promptttspp_tpu.ops.pallas.snake import fused_antialias_snake
+
+            return fused_antialias_snake(x, alpha_holder.alpha)
         x = upsample2(x, 2, 12)
-        x = Snake(self.channels, name="act")(x)
+        x = alpha_holder(x)
         return downsample2(x, 2, 12)
