@@ -1,0 +1,83 @@
+"""Tensor-parallel parameter sharding over the mesh's ``model`` axis.
+
+The reference has no TP (SURVEY.md §2.4: DP-only DDP); this is the
+forward-looking TPU-native extension: Megatron-style column/row sharding
+of the FFN expansion/contraction matmuls (conformer conv-FFNs, BERT
+intermediate/output, DiffNet step-MLP). Parameters are placed with
+``NamedSharding``; XLA GSPMD propagates activation shardings and inserts
+the reduce-scatter/all-reduce collectives over ICI.
+
+With model axis size 1 every spec degenerates to replication, so the same
+code path serves pure-DP meshes.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# parent module names whose matmul expands the hidden dim (column-parallel)
+_COLUMN = {"w_1", "intermediate_dense", "mlp_0", "adaptor_0"}
+# ... and whose matmul contracts back (row-parallel)
+_ROW = {"w_2", "output_dense", "mlp_2"}
+
+
+def param_partition_spec(path: Tuple[str, ...], leaf) -> P:
+    """PartitionSpec for one parameter leaf, by its flax path."""
+    if not path:
+        return P()
+    name = path[-1]
+    parent = path[-2] if len(path) > 1 else ""
+    ndim = getattr(leaf, "ndim", 0)
+
+    if name == "kernel":
+        if parent in _COLUMN:
+            # Dense [in, out] / Conv [k, in, out]: shard output features
+            return P(*([None] * (ndim - 1) + ["model"]))
+        if parent in _ROW:
+            # shard input (contraction) features
+            return P(*([None] * (ndim - 2) + ["model", None]))
+    if name == "bias" and parent in _COLUMN and ndim == 1:
+        return P("model")
+    return P()
+
+
+def shard_params(params, mesh: Mesh):
+    """device_put each leaf with its TP spec (replicated where P())."""
+
+    def place(path, leaf):
+        names = tuple(str(getattr(k, "key", k)) for k in path)
+        spec = param_partition_spec(names, leaf)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def shard_state(state, mesh: Mesh):
+    """Apply TP placement to params and matching placement to opt_state
+    (zeros_like trees inherit via re-placement of same-shaped leaves)."""
+    params = shard_params(state.params, mesh)
+    replicated = NamedSharding(mesh, P())
+    batch_stats = jax.device_put(state.batch_stats, replicated)
+
+    # optimizer moments mirror the param tree structure; re-place any leaf
+    # whose shape matches a param leaf at the same tree position when
+    # possible, else replicate.
+    flat_params = {tuple(str(getattr(k, "key", k)) for k in p): v
+                   for p, v in
+                   jax.tree_util.tree_flatten_with_path(params)[0]}
+
+    def place_opt(path, leaf):
+        names = tuple(str(getattr(k, "key", k)) for k in path)
+        # match the trailing path segments against param paths
+        for plen in range(len(names), 0, -1):
+            cand = names[-plen:]
+            if cand in flat_params and flat_params[cand].shape == leaf.shape:
+                return jax.device_put(leaf, flat_params[cand].sharding)
+        return jax.device_put(leaf, replicated)
+
+    opt_state = jax.tree_util.tree_map_with_path(place_opt, state.opt_state)
+    return state.replace(params=params, batch_stats=batch_stats,
+                         opt_state=opt_state)

@@ -91,25 +91,48 @@ def create_train_state(model, batch, rng, tx) -> TrainState:
     )
 
 
-def make_train_step(model, tx, donate: bool = True):
-    """Returns jitted (state, batch, rng) -> (state, metrics)."""
+def _cast_floats(tree, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x, tree)
+
+
+def make_train_step(model, tx, donate: bool = True, bf16: bool = False):
+    """Returns jitted (state, batch, rng) -> (state, metrics).
+
+    bf16=True runs compute in bfloat16 with f32 master params (the TPU
+    counterpart of the reference's fp16 GradScaler switch,
+    `trainers/tts.py:86-92` — no loss scaling needed for bf16). The MDN
+    fp32 islands stay fp32 via their explicit casts (mdn_disable_amp).
+    """
 
     def train_step(state: TrainState, batch: Dict, rng) -> tuple:
         r_drop, r_diff, r_style = jax.random.split(
             jax.random.fold_in(rng, state.step), 3)
 
         def loss_fn(params):
+            apply_params = params
+            apply_batch = batch
+            if bf16:
+                apply_params = _cast_floats(params, jnp.bfloat16)
+                apply_batch = _cast_floats(batch, jnp.bfloat16)
             out, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch, train=True,
+                {"params": apply_params, "batch_stats": state.batch_stats},
+                apply_batch, train=True,
                 rngs={"dropout": r_drop, "diffusion": r_diff,
                       "style": r_style},
                 mutable=["batch_stats"],
             )
-            return out["loss"], (out, mutated.get("batch_stats", {}))
+            loss = out["loss"].astype(jnp.float32)
+            return loss, (out, mutated.get("batch_stats", {}))
 
         grads, (losses, new_stats) = jax.grad(loss_fn, has_aux=True)(
             state.params)
+        if bf16:
+            grads = _cast_floats(grads, jnp.float32)
+            new_stats = _cast_floats(new_stats, jnp.float32)
+            losses = {k: v.astype(jnp.float32) for k, v in losses.items()}
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params)
         new_params = optax.apply_updates(state.params, updates)

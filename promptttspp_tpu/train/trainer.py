@@ -180,7 +180,8 @@ class TTSTrainer:
             state = ckpt_lib.load_pretrained_params(cfg.pretrained, state)
             self.logger.info(f"warm start from {cfg.pretrained}")
 
-        train_step = make_train_step(model, tx)
+        train_step = make_train_step(
+            model, tx, bf16=cfg.select("train.bf16", False))
         eval_step = make_eval_step(model)
         step_rng = jax.random.PRNGKey(seed + 1)
 

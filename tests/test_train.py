@@ -188,3 +188,29 @@ def test_resume_continues(trained, tmp_path):
         freeze_bert=False)
     state2 = trainer2.run(num_epochs=3)  # resumes at epoch 3
     assert int(state2.step) > int(state.step)
+
+
+def test_bf16_train_step(trained):
+    """bf16 compute with f32 master params: one step, finite loss, f32
+    params preserved."""
+    import jax.numpy as jnp
+
+    from promptttspp_tpu.parallel.mesh import make_mesh, shard_batch
+    from promptttspp_tpu.train.state import make_optimizer, make_train_step
+    from promptttspp_tpu.train.trainer import model_batch
+    from promptttspp_tpu.data.collate import PromptTTSCollator
+
+    trainer, state, out, cfg = trained
+    model = tiny_model()
+    tx = make_optimizer(warmup_steps=10)
+    step = make_train_step(model, tx, donate=False, bf16=True)
+    ds = SyntheticDataset(8, 2)
+    batch = PromptTTSCollator(tokenizer=TokenHashTokenizer())(
+        [ds[i] for i in range(8)])
+    mesh = make_mesh()
+    with mesh:
+        sharded = shard_batch(model_batch(batch), mesh)
+        new_state, metrics = step(state, sharded, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    leaf = jax.tree.leaves(new_state.params)[0]
+    assert leaf.dtype == jnp.float32
