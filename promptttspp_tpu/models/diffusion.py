@@ -238,6 +238,14 @@ class GaussianDiffusion(nn.Module):
         else:
             x = x_T
 
+        if self.pndm_speedup:
+            # PLMS fast path (the reference stubs this with
+            # NotImplementedError at init, `diffusion.py:104-105`; the TPU
+            # build supports it — K/interval denoiser calls instead of K)
+            interval = int(self.pndm_speedup)
+            steps = jnp.arange(self.K_step - interval, -1, -interval)
+            return self._denorm(self._plms_loop(x, steps, interval, cond))
+
         if zero_noise:
             noises = jnp.zeros((self.K_step,) + shape, jnp.float32)
         else:
@@ -253,3 +261,54 @@ class GaussianDiffusion(nn.Module):
         steps = jnp.arange(self.K_step - 1, -1, -1)
         x, _ = jax.lax.scan(step, x, (steps, noises[::-1]))
         return self._denorm(x)
+
+    # -------------------------------------------------------------- PLMS
+    def _x_pred(self, x, noise_t, t, interval):
+        """PNDM transfer step (reference `diffusion.py:230-246`)."""
+        a_t = self.alphas_cumprod[t][:, None, None]
+        t_prev = jnp.maximum(t - interval, 0)
+        a_prev = self.alphas_cumprod[t_prev][:, None, None]
+        a_t_sq, a_prev_sq = jnp.sqrt(a_t), jnp.sqrt(a_prev)
+        x_delta = (a_prev - a_t) * (
+            (1.0 / (a_t_sq * (a_t_sq + a_prev_sq))) * x
+            - 1.0 / (a_t_sq * (jnp.sqrt((1 - a_prev) * a_t)
+                               + jnp.sqrt((1 - a_t) * a_prev))) * noise_t
+        )
+        return x + x_delta
+
+    def _plms_loop(self, x, steps, interval, cond):
+        """Adams-Bashforth multistep with the eps history in the scan
+        carry (reference `diffusion.py:224-277`)."""
+        B = x.shape[0]
+
+        def step_fn(carry, i):
+            x, hist, n_hist = carry
+            t = jnp.full((B,), i, jnp.int32)
+            eps = self.denoise_fn(x, t, cond)
+
+            def order1(_):
+                x_pred = self._x_pred(x, eps, t, interval)
+                t_prev = jnp.maximum(t - interval, 0)
+                eps_prev = self.denoise_fn(x_pred, t_prev, cond)
+                return (eps + eps_prev) / 2.0
+
+            def order2(_):
+                return (3.0 * eps - hist[0]) / 2.0
+
+            def order3(_):
+                return (23.0 * eps - 16.0 * hist[0] + 5.0 * hist[1]) / 12.0
+
+            def order4(_):
+                return (55.0 * eps - 59.0 * hist[0] + 37.0 * hist[1]
+                        - 9.0 * hist[2]) / 24.0
+
+            eps_prime = jax.lax.switch(
+                jnp.minimum(n_hist, 3), [order1, order2, order3, order4],
+                None)
+            x_new = self._x_pred(x, eps_prime, t, interval)
+            hist = jnp.concatenate([eps[None], hist[:-1]], axis=0)
+            return (x_new, hist, n_hist + 1), None
+
+        hist0 = jnp.zeros((3,) + x.shape, x.dtype)
+        (x, _, _), _ = jax.lax.scan(step_fn, (x, hist0, 0), steps)
+        return x

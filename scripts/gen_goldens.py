@@ -431,9 +431,64 @@ def gen_vocoder():
         torch.rand, torch.randn_like = orig_rand, orig_randn_like
     save("bigvgan_f0", mel=mel, f0=f0, wav=wav_f0.numpy(), **sd_to_np(fbv))
 
+
+
+# ---------------------------------------------------------------- nnsvs CFG
+def gen_nnsvs():
+    from promptttspp.modules.nnsvs.denoiser import DiffNet as DiffNetG
+    from promptttspp.modules.nnsvs.diffusion import GaussianDiffusion as GD
+
+    torch.manual_seed(14)
+    net = DiffNetG(in_dim=12, encoder_hidden_dim=24, residual_layers=3,
+                   residual_channels=16, dilation_cycle_length=2,
+                   gin_channels=8, g_proj_dim=16, g_dropout=0.0,
+                   cond_norm=True, time_varying_emb=False)
+    diff = GD(in_dim=24, out_dim=12, denoise_fn=net, K_step=20,
+              schedule_type="linear", norm_scale=6.0,
+              do_classifier_free_guidance=True, guidance_scale=2.0,
+              clip_denoised=True).eval()
+    rng = np.random.RandomState(14)
+    B, T = 2, 9
+    cond = rng.randn(B, 24, T).astype(np.float32)          # torch [B,H,T]
+    g = rng.randn(B, 1, 8).astype(np.float32)
+    y = rng.randn(B, T, 12).astype(np.float32)             # [B,T,C]
+    t = np.array([3, 17], np.int64)
+    noise = rng.randn(B, 1, 12, T).astype(np.float32)      # [B,1,M,T]
+    x_T = rng.randn(B, 1, 12, T).astype(np.float32)
+
+    with torch.no_grad():
+        # training internals with fixed t/noise
+        x_start = diff._norm(torch.from_numpy(y), diff.norm_scale)
+        x_start = x_start.transpose(1, 2)[:, None, :, :]
+        x_noisy = diff.q_sample(x_start, torch.from_numpy(t),
+                                torch.from_numpy(noise))
+        model_out = net(x_noisy, torch.from_numpy(t),
+                        torch.from_numpy(cond), g=torch.from_numpy(g))
+        # zero-noise ancestral loop with CFG
+        xs = torch.from_numpy(x_T)
+        zeros = lambda *shape, device=None: torch.zeros(shape, device=device)
+        for i in reversed(range(20)):
+            xs = diff.p_sample(xs, torch.full((B,), i, dtype=torch.long),
+                               torch.from_numpy(cond), noise_fn=zeros,
+                               g=torch.from_numpy(g),
+                               clip_denoised=True)
+        mel_anc = diff._denorm(xs[:, 0].transpose(1, 2), diff.norm_scale)
+        # PLMS loop interval 5
+        from collections import deque
+        diff.noise_list = deque(maxlen=4)
+        xs = torch.from_numpy(x_T)
+        for i in reversed(range(0, 20, 5)):
+            xs = diff.p_sample_plms(xs, torch.full((B,), i, dtype=torch.long),
+                                    5, torch.from_numpy(cond),
+                                    g=torch.from_numpy(g))
+        mel_plms = diff._denorm(xs[:, 0].transpose(1, 2), diff.norm_scale)
+    save("nnsvs_cfg", cond=cond, g=g, y=y, t=t, noise=noise, x_T=x_T,
+         model_out=model_out.numpy(), mel_anc=mel_anc.numpy(),
+         mel_plms=mel_plms.numpy(), **sd_to_np(net, prefix="denoise_fn."))
+
 if __name__ == "__main__":
     which = sys.argv[1:] or ["conformer", "mdn", "predictors", "frame_prior",
                              "style_encoder", "diffusion", "variance_adaptor",
-                             "model", "vocoder"]
+                             "model", "vocoder", "nnsvs"]
     for name in which:
         globals()[f"gen_{name}"]()
