@@ -131,16 +131,29 @@ def convert_tree(
       collection: 'params' or 'batch_stats'.
       prefix: prepended to every generated torch key (e.g. 'encoder.').
       rename: optional rewrites of the generated torch module path (the
-        dotted key *without* the parameter leaf), for structural
-        deviations between the trees.
+        dotted key *without* the parameter leaf). Keys match either the
+        full base exactly or as a dotted prefix (longest match wins), so
+        one entry can rewrite a whole subtree.
     """
     rename = rename or {}
+
+    def apply_rename(base: str) -> str:
+        if base in rename:
+            return rename[base]
+        best = None
+        for key in rename:
+            if base.startswith(key + ".") and (
+                    best is None or len(key) > len(best)):
+                best = key
+        if best is not None:
+            return rename[best] + base[len(best):]
+        return base
 
     def rec(node, path):
         if isinstance(node, Mapping):
             return {k: rec(v, path + (k,)) for k, v in node.items()}
         base = f"{prefix}{_to_torch_key(path[:-1])}".strip(".")
-        base = rename.get(base, base)
+        base = apply_rename(base)
         arr = _convert_leaf(path[-1], node, base, state_dict, collection)
         arr = np.asarray(arr)
         expected = np.shape(node)

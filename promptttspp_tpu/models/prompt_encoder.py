@@ -42,3 +42,39 @@ class PromptEncoder(nn.Module):
         x = nn.relu(nn.Dense(self.mid_channels, name="adaptor_2")(x))
         x = nn.Dense(self.out_channels, name="adaptor_4")(x)
         return x[:, None, :]  # [B, 1, C]
+
+
+class SepPromptEncoder(nn.Module):
+    """Split style|speaker dual-BERT encoder
+    (`modules/prompt_encoder.py:59-87`). Takes the two prompt halves
+    pre-tokenized (the reference splits raw strings on '|' inside forward;
+    the host-side tokenizer does that split here)."""
+
+    model_name: str = "bert-base-uncased"
+    in_channels: int = 768
+    mid_channels: int = 512
+    out_channels: int = 256
+    bert_config: Optional[BertConfig] = None
+    bert_num_layers: int = 12
+    bert_num_heads: int = 12
+
+    def setup(self):
+        kw = dict(model_name=self.model_name, in_channels=self.in_channels,
+                  mid_channels=self.mid_channels,
+                  out_channels=self.out_channels,
+                  bert_config=self.bert_config,
+                  bert_num_layers=self.bert_num_layers,
+                  bert_num_heads=self.bert_num_heads)
+        self.style_enc = PromptEncoder(**kw, name="style_enc")
+        self.spk_enc = PromptEncoder(**kw, name="spk_enc")
+
+    def __call__(self, style_ids, style_mask, spk_ids, spk_mask,
+                 train: bool = False):
+        x1 = self.style_enc(style_ids, style_mask, train=train)
+        x2 = self.spk_enc(spk_ids, spk_mask, train=train)
+        return x1 + x2
+
+    def infer(self, style_ids, style_mask, spk_ids, spk_mask):
+        x1 = self.style_enc(style_ids, style_mask, train=False)
+        x2 = self.spk_enc(spk_ids, spk_mask, train=False)
+        return x1 + x2, x1, x2

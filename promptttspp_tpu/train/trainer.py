@@ -190,6 +190,11 @@ class TTSTrainer:
         tracker = Tracker(str(self.log_dir / "loss.csv"))
         global_step = int(state.step)
 
+        # profiling hooks (SURVEY.md §5.1: the reference has none; we
+        # expose jax.profiler traces via train.profile_steps)
+        profile_steps = cfg.select("train.profile_steps", 0)
+        profile_dir = str(self.log_dir / "profile")
+
         with mesh:
             for epoch in range(start_epoch, num_epochs + 1):
                 tracker.reset()
@@ -201,7 +206,14 @@ class TTSTrainer:
                     batch = pad_batch_to_multiple(batch, n_data)
                     n_frames += int(np.sum(batch["frame_lengths"]))
                     sharded = shard_batch(model_batch(batch), mesh)
+                    if profile_steps and global_step == profile_steps:
+                        jax.profiler.start_trace(profile_dir)
                     state, metrics = train_step(state, sharded, step_rng)
+                    if profile_steps and global_step == profile_steps + 3:
+                        jax.tree.map(
+                            lambda x: x.block_until_ready(), metrics)
+                        jax.profiler.stop_trace()
+                        self.logger.info(f"profile trace -> {profile_dir}")
                     global_step += 1
                     tracker.update(
                         {k: float(v) for k, v in metrics.items()})

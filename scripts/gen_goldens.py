@@ -486,9 +486,55 @@ def gen_nnsvs():
          model_out=model_out.numpy(), mel_anc=mel_anc.numpy(),
          mel_plms=mel_plms.numpy(), **sd_to_np(net, prefix="denoise_fn."))
 
+
+
+# --------------------------------------------------- local conformer / vits
+def gen_local_nets():
+    from promptttspp.modules.conformer import Conformer as LocalConformer
+    from promptttspp.modules.transformer import Transformer as VitsTransformer
+
+    torch.manual_seed(15)
+    conf = LocalConformer(num_layers=2, channels=32, num_head=2,
+                          kernel_size=7, dropout=0.0, ffn_scale=4).eval()
+    rng = np.random.RandomState(15)
+    B, T = 2, 13
+    x = rng.randn(B, T, 32).astype(np.float32)
+    lens = np.array([13, 9])
+    mask = (np.arange(T)[None] < lens[:, None]).astype(np.float32)
+    g = rng.randn(B, 32, 1).astype(np.float32)
+    with torch.no_grad():
+        out = conf(torch.from_numpy(x), torch.from_numpy(mask[:, None, :]),
+                   g=torch.from_numpy(g))
+        out_nog = conf(torch.from_numpy(x),
+                       torch.from_numpy(mask[:, None, :]))
+    save("local_conformer", x=x, mask=mask, g=g, out=out.numpy(),
+         out_nog=out_nog.numpy(), **sd_to_np(conf))
+
+    torch.manual_seed(16)
+    trans = VitsTransformer(channels=32, num_head=2, num_layers=2,
+                            kernel_size=3, dropout=0.0, scale=4,
+                            window_size=4, use_rel=True).eval()
+    xt = rng.randn(B, 32, T).astype(np.float32)  # [B, C, T]
+    with torch.no_grad():
+        out_t = trans(torch.from_numpy(xt),
+                      torch.from_numpy(mask[:, None, :]))
+    trans2 = VitsTransformer(channels=32, num_head=2, num_layers=2,
+                             kernel_size=3, dropout=0.0, scale=4,
+                             use_rel=False).eval()
+    torch.manual_seed(17)
+    trans2 = VitsTransformer(channels=32, num_head=2, num_layers=2,
+                             kernel_size=3, dropout=0.0, scale=4,
+                             use_rel=False).eval()
+    with torch.no_grad():
+        out_abs = trans2(torch.from_numpy(xt),
+                         torch.from_numpy(mask[:, None, :]))
+    save("vits_transformer", x=xt, mask=mask, out=out_t.numpy(),
+         out_abs=out_abs.numpy(),
+         **sd_to_np(trans, prefix="rel."), **sd_to_np(trans2, prefix="abs."))
+
 if __name__ == "__main__":
     which = sys.argv[1:] or ["conformer", "mdn", "predictors", "frame_prior",
                              "style_encoder", "diffusion", "variance_adaptor",
-                             "model", "vocoder", "nnsvs"]
+                             "model", "vocoder", "nnsvs", "local_nets"]
     for name in which:
         globals()[f"gen_{name}"]()
