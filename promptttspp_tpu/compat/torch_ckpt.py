@@ -43,16 +43,19 @@ def _to_torch_key(path: Tuple[str, ...]) -> str:
     for p in path:
         # flax list-modules are named name_N; torch ModuleList uses name.N
         if "_" in p:
+            head0 = p.split("_", 1)[0]
+            if head0 in ("downs", "ups") and any(c.isdigit() for c in p):
+                # nested ModuleList-of-ModuleList: downs_0_3_fn -> downs.0.3.fn
+                parts.append(p.replace("_", "."))
+                continue
             head, _, tail = p.rpartition("_")
             if tail.isdigit() and head and not head[-1].isdigit():
-                if head == "blocks":
-                    # anonymous nested ModuleList (BigVGAN MRF): bare index
-                    parts.append(tail)
-                    continue
-                if head in ("encoders", "layers", "convs", "norms", "ups",
+                if head in ("blocks", "encoders", "layers", "convs", "norms",
                             "upsamples", "mrfs", "resblocks", "noise_convs",
                             "mlp", "adaptor", "convs1", "convs2",
-                            "activations", "residual_layers"):
+                            "activations", "residual_layers", "time_mlp",
+                            "to_out", "mid_block", "in_block", "out_block",
+                            "net", "flows"):
                     parts.append(f"{head}.{tail}")
                     continue
         parts.append(p)
@@ -83,7 +86,11 @@ def _convert_leaf(name: str, flax_val, torch_key_base: str,
             )
         if w.ndim == 2:  # Linear
             return w.T
-        if w.ndim == 3:  # Conv1d [out, in/g, k] -> [k, in/g, out]
+        if w.ndim == 3:
+            if np.ndim(flax_val) == 2 and w.shape[2] == 1:
+                # torch 1x1 Conv1d loaded into a flax Dense
+                return w[:, :, 0].T
+            # Conv1d [out, in/g, k] -> [k, in/g, out]
             return w.transpose(2, 1, 0)
         if w.ndim == 4:  # Conv2d [out, in/g, kh, kw] -> [kh, kw, in/g, out]
             return w.transpose(2, 3, 1, 0)
@@ -101,7 +108,12 @@ def _convert_leaf(name: str, flax_val, torch_key_base: str,
             )
         return w.transpose(2, 0, 1)
     if name == "scale":
-        return get("weight")
+        # flax LayerNorm/BatchNorm scale <- torch 'weight'; but some modules
+        # (ConvNeXt layer scale) have a literal torch param named 'scale'
+        full_w = f"{torch_key_base}.weight" if torch_key_base else "weight"
+        if full_w in sd:
+            return get("weight")
+        return get("scale")
     if name == "bias":
         return get("bias")
     if name == "embedding":

@@ -108,7 +108,9 @@ class MRFStage(nn.Module):
         for j, (k, d) in enumerate(
             zip(self.resblock_kernel_sizes, self.resblock_dilations)
         ):
-            acc = acc + AMPBlock(self.channels, k, tuple(d), name=f"blocks_{j}")(x)
+            # named by bare index: the torch side is an anonymous nested
+            # ModuleList ("mrfs.<i>.<j>.layers...")
+            acc = acc + AMPBlock(self.channels, k, tuple(d), name=str(j))(x)
         return acc / len(self.resblock_kernel_sizes)
 
 

@@ -532,9 +532,60 @@ def gen_local_nets():
          out_abs=out_abs.numpy(),
          **sd_to_np(trans, prefix="rel."), **sd_to_np(trans2, prefix="abs."))
 
+
+
+# ------------------------------------------------- convnext / mrf / unet / glow
+def gen_aux_nets():
+    from promptttspp.modules.convnext import ConvNeXt1d
+    from promptttspp.modules.mrf import MRFNet
+    from promptttspp.modules.unet import Unet1d
+    from promptttspp.modules.glow import Glow
+
+    rng = np.random.RandomState(18)
+    B, T, C = 2, 12, 16
+    mask = (np.arange(T)[None] < np.array([[12], [8]])).astype(np.float32)
+
+    torch.manual_seed(18)
+    cn = ConvNeXt1d(channels=C, h_channels=32, num_layers=2).eval()
+    x = rng.randn(B, C, T).astype(np.float32)
+    with torch.no_grad():
+        out = cn(torch.from_numpy(x), torch.from_numpy(mask[:, None, :]))
+    save("convnext", x=x, mask=mask, out=out.numpy(), **sd_to_np(cn))
+
+    torch.manual_seed(19)
+    mrf = MRFNet(in_channels=C, channels=C, out_channels=C,
+                 kernel_sizes=[3, 7], dilations=[1, 3]).eval()
+    g = rng.randn(B, C, 1).astype(np.float32)
+    with torch.no_grad():
+        out = mrf(torch.from_numpy(x), torch.from_numpy(mask[:, None, :]),
+                  g=torch.from_numpy(g))
+    save("mrf", x=x, mask=mask, g=g, out=out.numpy(), **sd_to_np(mrf))
+
+    torch.manual_seed(20)
+    un = Unet1d(in_channels=10, encoder_channels=14, out_channels=10,
+                dim=16, dim_mults=(1, 2, 4)).eval()
+    xu = rng.randn(B, 10, T).astype(np.float32)
+    cond = rng.randn(B, 14, T).astype(np.float32)
+    tt = np.array([5, 55], np.int64)
+    with torch.no_grad():
+        out = un(torch.from_numpy(xu), torch.from_numpy(tt),
+                 torch.from_numpy(cond),
+                 mask=torch.from_numpy(mask[:, None, :]))
+    save("unet", x=xu, cond=cond, t=tt, mask=mask, out=out.numpy(),
+         **sd_to_np(un))
+
+    torch.manual_seed(21)
+    gl = Glow(in_channels=C, channels=24, num_flows=2, n_blocks=2).eval()
+    zx = rng.randn(B, C, 1).astype(np.float32)
+    with torch.no_grad():
+        zf, ld = gl(torch.from_numpy(zx))
+        zr, ldr = gl.reverse(zf)
+    save("glow", z=zx, zf=zf.numpy(), ld=np.float32(ld.item()),
+         zr=zr.numpy(), **sd_to_np(gl))
+
 if __name__ == "__main__":
     which = sys.argv[1:] or ["conformer", "mdn", "predictors", "frame_prior",
                              "style_encoder", "diffusion", "variance_adaptor",
-                             "model", "vocoder", "nnsvs", "local_nets"]
+                             "model", "vocoder", "nnsvs", "local_nets", "aux_nets"]
     for name in which:
         globals()[f"gen_{name}"]()
