@@ -61,10 +61,9 @@ def _kernel(x_hbm, alpha_ref, out_ref, scratch, sem, *, tile: int,
         return u + inv_a * jnp.square(jnp.sin(u * a))
 
     def taps(base, weights):
-        acc = weights[0] * jax.lax.dynamic_slice_in_dim(xt, base, nq, axis=0)
+        acc = weights[0] * xt[base:base + nq, :]
         for i, w in enumerate(weights[1:], start=1):
-            acc = acc + w * jax.lax.dynamic_slice_in_dim(
-                xt, base + i, nq, axis=0)
+            acc = acc + w * xt[base + i:base + i + nq, :]
         return acc
 
     even_w = [2.0 * float(f[2 * i]) for i in range(6)]
@@ -75,12 +74,17 @@ def _kernel(x_hbm, alpha_ref, out_ref, scratch, sem, *, tile: int,
     s_odd = snake(taps(3, odd_w))    # s[2q+1]
 
     # global edge replication of s: rows with q < 0 read s[0] (= s_even at
-    # q=0); rows with q > T-1 read s[2T-1] (= s_odd at q=T-1)
-    qg = t0 - 3 + jax.lax.broadcasted_iota(jnp.int32, (nq, 1), 0)
+    # q=0); rows with q > T-1 read s[2T-1] (= s_odd at q=T-1). The row
+    # indices are traced (depend on the tile id), so extract them with a
+    # masked reduction instead of a dynamic slice.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nq, 1), 0)
+    qg = t0 - 3 + rows
     d_first = jnp.clip(0 - (t0 - 3), 0, nq - 1)
     d_last = jnp.clip((n_time - 1) - (t0 - 3), 0, nq - 1)
-    s_first = jax.lax.dynamic_slice_in_dim(s_even, d_first, 1, axis=0)
-    s_last = jax.lax.dynamic_slice_in_dim(s_odd, d_last, 1, axis=0)
+    s_first = jnp.sum(jnp.where(rows == d_first, s_even, 0.0), axis=0,
+                      keepdims=True)
+    s_last = jnp.sum(jnp.where(rows == d_last, s_odd, 0.0), axis=0,
+                     keepdims=True)
     s_even = jnp.where(qg < 0, s_first, s_even)
     s_odd = jnp.where(qg < 0, s_first, s_odd)
     s_even = jnp.where(qg > n_time - 1, s_last, s_even)
@@ -90,11 +94,9 @@ def _kernel(x_hbm, alpha_ref, out_ref, scratch, sem, *, tile: int,
     #                      + sum_j f[2j+1] * s_even[d = r + j + 1]
     acc = float(f[0]) * s_odd[0:tile, :]
     for j in range(1, 6):
-        acc = acc + float(f[2 * j]) * jax.lax.dynamic_slice_in_dim(
-            s_odd, j, tile, axis=0)
+        acc = acc + float(f[2 * j]) * s_odd[j:j + tile, :]
     for j in range(6):
-        acc = acc + float(f[2 * j + 1]) * jax.lax.dynamic_slice_in_dim(
-            s_even, j + 1, tile, axis=0)
+        acc = acc + float(f[2 * j + 1]) * s_even[j + 1:j + 1 + tile, :]
     out_ref[0] = acc
 
 
