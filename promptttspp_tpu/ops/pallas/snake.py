@@ -50,10 +50,11 @@ def _kernel(x_hbm, alpha_ref, out_ref, scratch, sem, *, tile: int,
         x_hbm.at[b, pl.ds(t0, tile + 2 * HALO), :], scratch, sem)
     dma.start()
     dma.wait()
-    xt = scratch[:]  # [tile + 16, C]; row l = x_global[t0 + l - HALO]
+    # compute in f32: Mosaic has no bf16 transcendentals (math.sin)
+    xt = scratch[:].astype(jnp.float32)  # row l = x[t0 + l - HALO]
 
     f = kaiser_sinc_filter1d(0.25, 0.3, 12)
-    alpha = alpha_ref[0, :]
+    alpha = alpha_ref[0, :].astype(jnp.float32)
     a = jnp.exp(alpha)
     inv_a = 1.0 / (a + 1e-9)
 
@@ -97,7 +98,7 @@ def _kernel(x_hbm, alpha_ref, out_ref, scratch, sem, *, tile: int,
         acc = acc + float(f[2 * j]) * s_odd[j:j + tile, :]
     for j in range(6):
         acc = acc + float(f[2 * j + 1]) * s_even[j + 1:j + 1 + tile, :]
-    out_ref[0] = acc
+    out_ref[0] = acc.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
@@ -106,6 +107,12 @@ def fused_antialias_snake(x, alpha, tile: int = 1024,
     """[B, T, C] x, [C] alpha -> [B, T, C]; numerically equal to
     downsample2(snake(upsample2(x), alpha))."""
     B, T, C = x.shape
+    pad_c = (-C) % 128  # Mosaic DMA slices must fill whole 128-lane tiles
+    if pad_c:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_c)))
+        alpha = jnp.pad(alpha, (0, pad_c))
+        out = fused_antialias_snake(x, alpha, tile=tile, interpret=interpret)
+        return out[:, :, :C]
     pad_t = (-T) % tile
     Tp = T + pad_t
     xp = jnp.pad(x, ((0, 0), (HALO, HALO + pad_t), (0, 0)), mode="edge")

@@ -139,10 +139,7 @@ class AntiAliasActivation(nn.Module):
         if use_pallas is None:
             import jax
 
-            # Mosaic DMA slices must be lane-aligned: fuse only when the
-            # channel count fills whole 128-lane registers
-            use_pallas = (jax.default_backend() == "tpu"
-                          and self.channels % 128 == 0)
+            use_pallas = jax.default_backend() == "tpu"
         if use_pallas:
             from promptttspp_tpu.ops.pallas.snake import fused_antialias_snake
 

@@ -43,12 +43,24 @@ class ConvTranspose1d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from promptttspp_tpu.ops.packed_conv import subpixel_conv_transpose
+
         in_features = x.shape[-1]
         k = self.param(
             "kernel_t",
             nn.initializers.lecun_normal(batch_axis=(0,)),
             (self.kernel_size, in_features, self.features),
         )
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        out_len = ((x.shape[1] - 1) * self.stride - 2 * self.padding
+                   + self.kernel_size + self.output_padding)
+        if out_len == self.stride * x.shape[1]:
+            # sub-pixel phase decomposition: dense matmuls instead of an
+            # lhs-dilated conv chewing through stride-1 zeros (~10x faster
+            # on TPU for the stride-5 stage)
+            return subpixel_conv_transpose(
+                x, k, self.stride, self.padding, self.output_padding, bias)
         w = jnp.flip(k, 0)
         pad_l = self.kernel_size - 1 - self.padding
         pad_r = pad_l + self.output_padding
@@ -57,9 +69,40 @@ class ConvTranspose1d(nn.Module):
             lhs_dilation=(self.stride,),
             dimension_numbers=("NHC", "HIO", "NHC"),
         )
-        if self.use_bias:
-            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+        if bias is not None:
+            y = y + bias
         return y
+
+
+class PackableConv1d(nn.Module):
+    """SAME dilated conv with the space-to-depth MXU packing for narrow
+    channels on TPU (ops.packed_conv.packed_conv1d); parameter layout is
+    identical to nn.Conv so checkpoints are unaffected."""
+
+    features: int
+    kernel_size: int
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        import jax as _jax
+
+        from promptttspp_tpu.ops.packed_conv import packed_conv1d
+
+        C = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size, C, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        # measured on v5e: XLA's plain lowering already beats the packed
+        # form at these shapes, so packing stays opt-in
+        pack = 0
+        if pack > 1 and _jax.default_backend() == "tpu":
+            return packed_conv1d(x, kernel, self.dilation, pack, bias)
+        y = _jax.lax.conv_general_dilated(
+            x, kernel, (1,), "SAME", rhs_dilation=(self.dilation,),
+            dimension_numbers=("NHC", "HIO", "NHC"))
+        return y + bias
 
 
 class AMPLayer(nn.Module):
@@ -73,10 +116,11 @@ class AMPLayer(nn.Module):
     @nn.compact
     def __call__(self, x):
         y = AntiAliasActivation(self.channels, name="act1")(x)
-        y = conv1d(self.channels, self.kernel_size, dilation=self.dilation,
-                   name="conv1")(y)
+        y = PackableConv1d(self.channels, self.kernel_size,
+                           dilation=self.dilation, name="conv1")(y)
         y = AntiAliasActivation(self.channels, name="act2")(y)
-        y = conv1d(self.channels, self.kernel_size, name="conv2")(y)
+        y = PackableConv1d(self.channels, self.kernel_size,
+                           name="conv2")(y)
         return x + y
 
 
