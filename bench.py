@@ -62,19 +62,22 @@ def main():
         jnp.asarray(batch["prompt_ids"]), jnp.asarray(batch["prompt_mask"]),
     )
 
-    # warmup / compile. Timing forces a device->host scalar readback:
-    # block_until_ready alone is not reliable on tunneled backends.
-    def run_once():
-        wav, flens = text2wav(*args)
-        return float(jnp.sum(wav[:, -1, 0])), wav
+    # warmup / compile. block_until_ready is unreliable on tunneled
+    # backends, so each measurement runs ITERS pipelined calls and forces
+    # one device->host scalar readback at the end — the per-call time
+    # amortizes the tunnel round-trip instead of adding ~30 ms to every
+    # iteration.
+    ITERS = 20
 
-    run_once()
-    times = []
-    for _ in range(3):
+    def run_block():
         t0 = time.perf_counter()
-        run_once()
-        times.append(time.perf_counter() - t0)
+        for _ in range(ITERS):
+            wav, flens = text2wav(*args)
+        float(jnp.sum(wav[:, -1, 0]))
+        return (time.perf_counter() - t0) / ITERS
 
+    run_block()  # warmup
+    times = [run_block() for _ in range(3)]
     wall = float(np.median(times))
     audio_sec = MAX_FRAMES * HOP / SR  # padded synthesis = real compute
     rtf = wall / audio_sec

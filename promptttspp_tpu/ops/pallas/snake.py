@@ -102,11 +102,18 @@ def _kernel(x_hbm, alpha_ref, out_ref, scratch, sem, *, tile: int,
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
-def fused_antialias_snake(x, alpha, tile: int = 1024,
+def fused_antialias_snake(x, alpha, tile: int = 0,
                           interpret: bool = False):
     """[B, T, C] x, [C] alpha -> [B, T, C]; numerically equal to
     downsample2(snake(upsample2(x), alpha))."""
     B, T, C = x.shape
+    if tile == 0:
+        # auto: amortize per-program overhead. Footprint per program is
+        # roughly 6 live (tile, c_pad) f32 arrays (scratch, f32 copy,
+        # s_even/s_odd, acc, out block); stay well under the 16 MB VMEM.
+        c_pad = C + ((-C) % 128)
+        budget = 8 * 1024 * 1024
+        tile = max(512, min(4096, budget // (6 * 4 * c_pad) // 512 * 512))
     pad_c = (-C) % 128  # Mosaic DMA slices must fill whole 128-lane tiles
     if pad_c:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_c)))
