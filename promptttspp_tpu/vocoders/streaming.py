@@ -1,0 +1,148 @@
+"""Chunked / streaming vocoder synthesis (BASELINE.md config #3).
+
+The frame axis is the one genuinely long axis in this system
+(SURVEY.md §5.7: T x 240 samples). For long utterances or continuous
+synthesis, the vocoder runs over fixed-size overlapping mel chunks:
+
+- ``vocode_chunked``: fold chunks into the batch axis and synthesize them
+  in ONE device call (throughput mode — keeps a single compiled shape and
+  saturates the chip regardless of utterance length);
+- ``vocode_streaming``: generator yielding waveform chunks sequentially
+  (latency/constant-memory mode).
+
+Each chunk carries ``halo`` context frames on both sides which are
+synthesized and discarded; with halo >= the vocoder's effective receptive
+field (~12 frames for the shipped config), the stitched waveform matches
+full-utterance synthesis to float tolerance in the interior and shows no
+boundary artifacts (tests/test_streaming.py quantifies this).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _pad_to(x, length, axis=1):
+    pad = length - x.shape[axis]
+    if pad <= 0:
+        return x
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (0, pad)
+    return jnp.pad(x, cfg, mode="edge")
+
+
+def vocode_chunked(vocoder, variables, mel, f0=None, chunk_frames: int = 256,
+                   halo_frames: int = 16, upsample: int = 240,
+                   **apply_kwargs):
+    """mel [B, T, n_mels] (+ f0 [B, T, 1]) -> wav [B, T*upsample, 1].
+
+    All chunks are synthesized in one batched call.
+    """
+    B, T, M = mel.shape
+    step = chunk_frames
+    n_chunks = -(-T // step)
+    Tp = n_chunks * step
+    mel_p = _pad_to(mel, Tp + halo_frames)  # right edge context
+    mel_p = jnp.pad(mel_p, ((0, 0), (halo_frames, 0), (0, 0)), mode="edge")
+    if f0 is not None:
+        f0_p = _pad_to(f0, Tp + halo_frames)
+        f0_p = jnp.pad(f0_p, ((0, 0), (halo_frames, 0), (0, 0)), mode="edge")
+
+    win = step + 2 * halo_frames
+    idx = (np.arange(n_chunks)[:, None] * step
+           + np.arange(win)[None, :])  # [n_chunks, win]
+    mel_c = mel_p[:, idx, :].reshape(B * n_chunks, win, M)
+    args = (mel_c,)
+    if f0 is not None:
+        f0_c = f0_p[:, idx, :].reshape(B * n_chunks, win, 1)
+        args = (mel_c, f0_c)
+
+    wav_c = vocoder.apply(variables, *args, **apply_kwargs)
+    h = halo_frames * upsample
+    wav_c = wav_c[:, h:h + step * upsample, :]
+    wav = wav_c.reshape(B, n_chunks * step * upsample, 1)
+    return wav[:, : T * upsample, :]
+
+
+def vocode_streaming(vocoder, variables, mel, f0=None,
+                     chunk_frames: int = 256, halo_frames: int = 16,
+                     upsample: int = 240,
+                     **apply_kwargs) -> Iterator[jnp.ndarray]:
+    """Sequential generator of wav chunks [B, chunk*upsample, 1] (the last
+    chunk may be shorter). One compiled shape regardless of utterance
+    length; constant device memory."""
+    B, T, M = mel.shape
+    step = chunk_frames
+    n_chunks = -(-T // step)
+    Tp = n_chunks * step
+    mel_p = _pad_to(mel, Tp + halo_frames)
+    mel_p = jnp.pad(mel_p, ((0, 0), (halo_frames, 0), (0, 0)), mode="edge")
+    if f0 is not None:
+        f0_p = _pad_to(f0, Tp + halo_frames)
+        f0_p = jnp.pad(f0_p, ((0, 0), (halo_frames, 0), (0, 0)), mode="edge")
+
+    win = step + 2 * halo_frames
+
+    @jax.jit
+    def run(variables, *chunk_args):
+        wav = vocoder.apply(variables, *chunk_args, **apply_kwargs)
+        h = halo_frames * upsample
+        return wav[:, h:h + step * upsample, :]
+
+    for ci in range(n_chunks):
+        s = ci * step
+        margs = (jax.lax.dynamic_slice_in_dim(mel_p, s, win, axis=1),)
+        if f0 is not None:
+            margs = margs + (
+                jax.lax.dynamic_slice_in_dim(f0_p, s, win, axis=1),)
+        wav = run(variables, *margs)
+        remaining = T * upsample - ci * step * upsample
+        if remaining < step * upsample:
+            wav = wav[:, :remaining, :]
+        yield wav
+
+
+def vocode_sharded(mesh, vocoder, variables, mel, f0=None,
+                   chunk_frames: int = 256, halo_frames: int = 16,
+                   upsample: int = 240, **apply_kwargs):
+    """Mesh-parallel chunked synthesis: the chunk batch is sharded over the
+    mesh's ``data`` axis, so an utterance's frame axis spreads across
+    chips (the v5e-8 answer to the RTF target — the vocoder is
+    embarrassingly parallel given halo context). Pads the chunk count to a
+    multiple of the data-axis size.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    B, T, M = mel.shape
+    step = chunk_frames
+    n_data = mesh.shape["data"]
+    n_chunks = -(-T // step)
+    n_chunks = -(-n_chunks // n_data) * n_data  # device multiple
+    Tp = n_chunks * step
+    mel_p = _pad_to(mel, Tp + halo_frames)
+    mel_p = jnp.pad(mel_p, ((0, 0), (halo_frames, 0), (0, 0)), mode="edge")
+    if f0 is not None:
+        f0_p = _pad_to(f0, Tp + halo_frames)
+        f0_p = jnp.pad(f0_p, ((0, 0), (halo_frames, 0), (0, 0)), mode="edge")
+
+    win = step + 2 * halo_frames
+    idx = (np.arange(n_chunks)[:, None] * step + np.arange(win)[None, :])
+    shard = NamedSharding(mesh, P("data"))
+    mel_c = jax.device_put(
+        mel_p[:, idx, :].reshape(B * n_chunks, win, M), shard)
+    args = (mel_c,)
+    if f0 is not None:
+        f0_c = jax.device_put(
+            f0_p[:, idx, :].reshape(B * n_chunks, win, 1), shard)
+        args = (mel_c, f0_c)
+
+    wav_c = jax.jit(lambda v, *a: vocoder.apply(v, *a, **apply_kwargs))(
+        variables, *args)
+    h = halo_frames * upsample
+    wav_c = wav_c[:, h:h + step * upsample, :]
+    wav = wav_c.reshape(B, n_chunks * step * upsample, 1)
+    return wav[:, : T * upsample, :]

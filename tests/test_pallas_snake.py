@@ -21,6 +21,8 @@ def reference(x, alpha):
     ((2, 100, 16), 64),     # padding to tile multiple, batch > 1
     ((1, 64, 8), 64),       # single tile: both edges in one tile
     ((1, 700, 32), 256),    # interior tiles
+    ((1, 300, 64), 128),    # lane-packed p=2
+    ((2, 513, 32), 256),    # lane-packed p=4, odd length
 ])
 def test_fused_matches_unfused(shape, tile):
     rng = np.random.RandomState(0)

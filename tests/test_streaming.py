@@ -1,0 +1,64 @@
+"""Chunked/streaming vocoder synthesis vs full-utterance synthesis."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from promptttspp_tpu.vocoders.bigvgan import BigVGAN
+from promptttspp_tpu.vocoders.streaming import vocode_chunked, vocode_streaming
+
+
+def small_vocoder():
+    # modest receptive field, fast on CPU
+    voc = BigVGAN(in_channel=12, upsample_initial_channel=16,
+                  upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+                  resblock_kernel_sizes=(3,), resblock_dilations=((1, 2),))
+    mel = jnp.zeros((1, 16, 12))
+    variables = voc.init(jax.random.PRNGKey(0), mel)
+    return voc, variables
+
+
+def test_chunked_matches_full():
+    voc, variables = small_vocoder()
+    rng = np.random.RandomState(0)
+    mel = jnp.asarray(rng.randn(2, 100, 12).astype(np.float32))
+    full = voc.apply(variables, mel)
+    chunked = vocode_chunked(voc, variables, mel, chunk_frames=32,
+                             halo_frames=12, upsample=8)
+    assert chunked.shape == full.shape
+    # interior parity: identical up to halo truncation effects at the
+    # extreme edges of the utterance
+    err = np.abs(np.asarray(chunked) - np.asarray(full))
+    assert err[:, 12 * 8: -12 * 8].max() < 1e-4, err.max()
+
+
+def test_streaming_concatenates_to_chunked():
+    voc, variables = small_vocoder()
+    rng = np.random.RandomState(1)
+    mel = jnp.asarray(rng.randn(1, 70, 12).astype(np.float32))
+    chunked = vocode_chunked(voc, variables, mel, chunk_frames=32,
+                             halo_frames=12, upsample=8)
+    parts = list(vocode_streaming(voc, variables, mel, chunk_frames=32,
+                                  halo_frames=12, upsample=8))
+    stream = np.concatenate([np.asarray(p) for p in parts], axis=1)
+    assert stream.shape == chunked.shape
+    np.testing.assert_allclose(stream, np.asarray(chunked), atol=1e-5)
+
+
+def test_sharded_matches_chunked():
+    from promptttspp_tpu.parallel.mesh import make_mesh
+    from promptttspp_tpu.vocoders.streaming import vocode_sharded
+
+    voc, variables = small_vocoder()
+    rng = np.random.RandomState(2)
+    mel = jnp.asarray(rng.randn(1, 100, 12).astype(np.float32))
+    chunked = vocode_chunked(voc, variables, mel, chunk_frames=16,
+                             halo_frames=12, upsample=8)
+    mesh = make_mesh()
+    with mesh:
+        sharded = vocode_sharded(mesh, voc, variables, mel, chunk_frames=16,
+                                 halo_frames=12, upsample=8)
+    assert sharded.shape == chunked.shape
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(chunked),
+                               atol=1e-5)
