@@ -194,7 +194,7 @@ def _fused_packed(x, alpha, tile: int, interpret: bool):
     B, T, C = x.shape
     p = 128 // C
     if tile == 0:
-        tile = 4096
+        tile = 2048  # measured optimum on v5e (VMEM-safe, overhead-amortized)
     tile = max(tile, 8 * p)
     pad_t = (-T) % tile
     Tp = T + pad_t
