@@ -124,3 +124,82 @@ class AllWithSpkPromptNormDataset:
             spk_id=spk_id, utt_id=utt_id, phonemes=phonemes, duration=dur,
             mel=mel, log_cf0=log_cf0, vuv=vuv, energy=energy, prompt=prompt,
         )
+
+
+class PromptTTSDataset:
+    """Older eager-cache variant (`datasets/prompttts.py:24-113`,
+    SURVEY.md §2.3): pipe-separated rows with a FIXED prompt per row, mel
+    computed from the wav at load time (our jitted transform), everything
+    cached in RAM. Unused by the shipped configs; kept for API parity.
+    """
+
+    def __init__(self, file_path, data_root, feats_dir, to_mel, split="|"):
+        self.data_root = Path(data_root)
+        self.feats_dir = Path(feats_dir)
+        self.to_mel = to_mel
+        self.data = self._read(file_path, split)
+        self.cache = {}
+        self.lengths = []
+        self._load()
+
+    def _read(self, file_path, split):
+        rows = []
+        with open(file_path) as f:
+            for line in f:
+                spk, utt_id, _, seq, duration, prompt = \
+                    line.strip().split(split)
+                rows.append((spk, utt_id,
+                             [int(x) for x in seq.split()],
+                             [int(x) for x in duration.split()], prompt))
+        return rows
+
+    def _load(self):
+        import jax
+        import jax.numpy as jnp
+
+        from promptttspp_tpu.preprocess.pipeline import read_wav
+
+        mel_fn = jax.jit(self.to_mel.to_mel)
+        for spk, utt_id, seq, duration, prompt in self.data:
+            wav, _ = read_wav(self.data_root / f"{spk}/wav24k/{utt_id}.wav")
+            mel = np.asarray(mel_fn(jnp.asarray(wav, jnp.float32)[None]))[0]
+            n = (len(wav) + self.to_mel.n_fft // 2) // self.to_mel.hop_length
+            mel = mel[:n]  # [T, n_mels]
+            log_cf0 = np.load(
+                self.feats_dir / f"{spk}/cf0/{utt_id}.npy").reshape(-1)
+            vuv = np.load(
+                self.feats_dir / f"{spk}/vuv/{utt_id}.npy").reshape(-1)
+            energy = np.sqrt(np.sum(np.exp(mel) ** 2, axis=1))
+            dur = np.asarray(duration, np.int32)
+            T = mel.shape[0]
+            if T < dur.sum():  # reflect-pad to duration total (`:68-79`)
+                diff = int(dur.sum()) - T
+                pad = lambda a: np.pad(a, [(0, diff)] + [(0, 0)] * (a.ndim - 1),
+                                       mode="reflect")
+                mel, log_cf0, vuv, energy = map(pad, (mel, log_cf0, vuv,
+                                                      energy))
+                T = mel.shape[0]
+            assert T == dur.sum(), (T, dur.sum())
+            self.cache[f"{spk}_{utt_id}"] = dict(
+                spk_id=spk, utt_id=utt_id,
+                phonemes=np.asarray(seq, np.int32), duration=dur,
+                mel=mel.astype(np.float32),
+                log_cf0=log_cf0[:, None].astype(np.float32),
+                vuv=vuv[:, None].astype(np.float32),
+                energy=energy[:, None].astype(np.float32), prompt=prompt)
+            self.lengths.append(T)
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, idx):
+        spk, utt_id, *_ = self.data[idx]
+        return self.cache[f"{spk}_{utt_id}"]
+
+    def num_tokens(self, index):
+        return self.lengths[index]
+
+    def ordered_indices(self):
+        indices = np.arange(len(self))
+        return indices[np.argsort(np.asarray(self.lengths)[indices],
+                                  kind="mergesort")]

@@ -195,6 +195,34 @@ class TTSTrainer:
         profile_steps = cfg.select("train.profile_steps", 0)
         profile_dir = str(self.log_dir / "profile")
 
+        # failure handling (SURVEY.md §5.3: the reference has none — bare
+        # try/except around ckpt loads only): on any exception mid-epoch,
+        # persist an emergency checkpoint before re-raising so long runs
+        # are resumable from the crash point.
+        try:
+            state = self._train_loop(
+                state, sampler, collator, mesh, n_data, train_step,
+                eval_step, step_rng, start_epoch, num_epochs, save_interval,
+                tracker, global_step, profile_steps, profile_dir)
+        except Exception:
+            try:
+                ckpt_lib.save_checkpoint(
+                    self.ckpt_dir / "crash",
+                    getattr(self, "_last_state", state), epoch=-1)
+                self.logger.exception(
+                    "training failed; emergency checkpoint -> "
+                    f"{self.ckpt_dir / 'crash'}")
+            except Exception:  # pragma: no cover
+                self.logger.exception("emergency checkpoint also failed")
+            raise
+        return state
+
+    def _train_loop(self, state, sampler, collator, mesh, n_data,
+                    train_step, eval_step, step_rng, start_epoch,
+                    num_epochs, save_interval, tracker, global_step,
+                    profile_steps, profile_dir):
+        cfg = self.cfg
+        seed = cfg.select("train.seed", 42)
         with mesh:
             for epoch in range(start_epoch, num_epochs + 1):
                 tracker.reset()
@@ -209,6 +237,7 @@ class TTSTrainer:
                     if profile_steps and global_step == profile_steps:
                         jax.profiler.start_trace(profile_dir)
                     state, metrics = train_step(state, sharded, step_rng)
+                    self._last_state = state
                     if profile_steps and global_step == profile_steps + 3:
                         jax.tree.map(
                             lambda x: x.block_until_ready(), metrics)
