@@ -583,9 +583,41 @@ def gen_aux_nets():
     save("glow", z=zx, zf=zf.numpy(), ld=np.float32(ld.item()),
          zr=zr.numpy(), **sd_to_np(gl))
 
+
+
+# ------------------------------------------------------ light/dynamic conv
+def gen_lightconv():
+    from promptttspp.modules.esp.transformer.lightconv import (
+        LightweightConvolution)
+    from promptttspp.modules.esp.transformer.dynamic_conv import (
+        DynamicConvolution)
+
+    rng = np.random.RandomState(22)
+    B, T, C, H = 2, 11, 16, 4
+    x = rng.randn(B, T, C).astype(np.float32)
+    lens = np.array([11, 7])
+    mask = (np.arange(T)[None] < lens[:, None]).astype(np.float32)
+    attn_mask = (mask[:, None, :] * mask[:, :, None])[:, :1, :]  # [B,1,T]
+
+    torch.manual_seed(22)
+    lc = LightweightConvolution(H, C, 0.0, "5", 0, use_kernel_mask=False,
+                                use_bias=True).eval()
+    with torch.no_grad():
+        out_lc = lc(torch.from_numpy(x), None, None,
+                    torch.from_numpy(attn_mask))
+    torch.manual_seed(23)
+    dc = DynamicConvolution(H, C, 0.0, "5", 0, use_kernel_mask=False,
+                            use_bias=True).eval()
+    with torch.no_grad():
+        out_dc = dc(torch.from_numpy(x), None, None,
+                    torch.from_numpy(attn_mask))
+    save("lightconv", x=x, mask=mask, out_lc=out_lc.numpy(),
+         out_dc=out_dc.numpy(),
+         **sd_to_np(lc, prefix="lc."), **sd_to_np(dc, prefix="dc."))
+
 if __name__ == "__main__":
     which = sys.argv[1:] or ["conformer", "mdn", "predictors", "frame_prior",
                              "style_encoder", "diffusion", "variance_adaptor",
-                             "model", "vocoder", "nnsvs", "local_nets", "aux_nets"]
+                             "model", "vocoder", "nnsvs", "local_nets", "aux_nets", "lightconv"]
     for name in which:
         globals()[f"gen_{name}"]()
