@@ -1,0 +1,242 @@
+"""Fully-fused BigVGAN AMPLayer as one Pallas TPU kernel (narrow channels).
+
+An AMPLayer is ``x + conv2(AA(conv1(AA(x))))`` with AA = kaiser-sinc up2
+-> snake -> down2 (`promptttspp_tpu/vocoders/bigvgan.py`). Unfused, each
+stage round-trips HBM (8 tensor-sized transfers per layer) and pays four
+kernel launches; this kernel keeps the whole layer in VMEM per tile: one
+read of x, one write of the output. The late vocoder stages (C=32/64,
+T = 240 * frames) are bandwidth/overhead-bound, making this the dominant
+single-chip latency lever.
+
+Design: the lane-packed layout from ops/pallas/snake.py (p = 128/C
+samples per 128-lane row; sample-offset taps = row shift + lane roll).
+Every intermediate lives on the SAME row grid as the input tile (scratch
+row i = global samples t0 + (i - H)*p ...), with in-kernel edge pads so
+all slices are static; validity shrinks toward the interior stage by
+stage and the halo H covers the total shrinkage. Channel mixing (the
+convs) runs as MXU matmuls against space-to-depth packed [128, 128]
+block weights built on host (same expansion as ops/packed_conv).
+
+Edge semantics match the unfused path exactly: s-level replication inside
+each AA (global sample masks), zero padding outside [0, T) for the convs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from promptttspp_tpu.vocoders.activations import kaiser_sinc_filter1d
+
+
+def _pack_conv_weight(w, pack: int, dilation: int):
+    """[k, C, C] -> (W2 [k2, 128, 128], q_min). Same math as
+    ops/packed_conv.packed_conv1d."""
+    k, C, _ = w.shape
+    P = pack
+    c_half = (k - 1) // 2 * dilation
+    q_min = (-c_half) // P
+    q_max = ((P - 1) + c_half) // P
+    k2 = q_max - q_min + 1
+    w2 = jnp.zeros((k2, P * C, P * C), w.dtype)
+    for r in range(P):
+        for j in range(k):
+            o = r + (j - (k - 1) // 2) * dilation
+            q, s = o // P, o % P
+            w2 = w2.at[q - q_min, s * C:(s + 1) * C,
+                       r * C:(r + 1) * C].add(w[j])
+    return w2, q_min
+
+
+def _kernel(x_hbm, a1_ref, a2_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
+            scratch, sem, *, rows: int, halo: int, p: int, c: int,
+            n_time: int, q1_min: int, k2_1: int, q2_min: int, k2_2: int):
+    b = pl.program_id(0)
+    t_idx = pl.program_id(1)
+    R, H = rows, halo
+    S = R + 2 * H
+    t0 = t_idx * R * p
+
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(t_idx * R, S), :], scratch, sem)
+    dma.start()
+    dma.wait()
+    xt = scratch[:].astype(jnp.float32)  # row i = samples t0 + (i - H)*p ..
+
+    f = kaiser_sinc_filter1d(0.25, 0.3, 12)
+    even_w = [2.0 * float(f[2 * i]) for i in range(6)]
+    odd_w = [2.0 * float(f[2 * i + 1]) for i in range(6)]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+    # global sample index of (row, lane) on the uniform grid
+    qg = t0 + (rows_i - H) * p + lane // c
+
+    PAD = 4  # in-kernel row padding so every tap slice is static
+
+    def padded(arr):
+        return jnp.concatenate([arr[:PAD], arr, arr[-PAD:]], axis=0)
+
+    def tap(arrp, o):
+        """Sample-offset tap on a PAD-padded array; output on the S grid."""
+        r, rem = divmod(o, p)
+        l = rem * c
+        A = arrp[PAD + r: PAD + r + S, :]
+        if l == 0:
+            return A
+        B = arrp[PAD + r + 1: PAD + r + 1 + S, :]
+        rA = pltpu.roll(A, 128 - l, 1)
+        rB = pltpu.roll(B, 128 - l, 1)
+        return jnp.where(lane < 128 - l, rA, rB)
+
+    def antialias(arr, alpha):
+        a = jnp.exp(alpha)
+        inv_a = 1.0 / (a + 1e-9)
+        arrp = padded(arr)
+        u_even = even_w[0] * tap(arrp, -3)
+        u_odd = odd_w[0] * tap(arrp, -2)
+        for i in range(1, 6):
+            u_even = u_even + even_w[i] * tap(arrp, i - 3)
+            u_odd = u_odd + odd_w[i] * tap(arrp, i - 2)
+        s_even = u_even + inv_a * jnp.square(jnp.sin(u_even * a))
+        s_odd = u_odd + inv_a * jnp.square(jnp.sin(u_odd * a))
+
+        # global s-edge replication: samples < 0 read s[0], > T-1 read
+        # s[2T-1] (= s_odd at sample T-1)
+        d_first = jnp.clip((0 - (t0 - H * p)) // p, 0, S - 1)
+        d_last = jnp.clip((n_time - 1 - (t0 - H * p)) // p, 0, S - 1)
+        sf = jnp.sum(jnp.where(rows_i == d_first, s_even, 0.0), axis=0,
+                     keepdims=True)
+        sf = jnp.where(lane < c, sf, 0.0)
+        accf = sf
+        for g in range(1, p):
+            accf = accf + pltpu.roll(sf, g * c, 1)
+        g_last = (n_time - 1) % p
+        sl = jnp.sum(jnp.where(rows_i == d_last, s_odd, 0.0), axis=0,
+                     keepdims=True)
+        sl = jnp.where(lane // c == g_last, sl, 0.0)
+        accl = jnp.zeros_like(sl)
+        for g in range(p):
+            shift = ((g - g_last) % p) * c
+            accl = accl + (sl if shift == 0 else pltpu.roll(sl, shift, 1))
+        s_even = jnp.where(qg < 0, accf, s_even)
+        s_odd = jnp.where(qg < 0, accf, s_odd)
+        s_even = jnp.where(qg > n_time - 1, accl, s_even)
+        s_odd = jnp.where(qg > n_time - 1, accl, s_odd)
+
+        sep = padded(s_even)
+        sop = padded(s_odd)
+        y = float(f[0]) * tap(sop, -3)
+        for j in range(1, 6):
+            y = y + float(f[2 * j]) * tap(sop, j - 3)
+        for j in range(6):
+            y = y + float(f[2 * j + 1]) * tap(sep, j - 2)
+        return y
+
+    def zero_outside(arr):
+        return jnp.where((qg >= 0) & (qg < n_time), arr, 0.0)
+
+    def replicate_outside(arr):
+        """Edge-replicate the [0, T) boundary values into the halo — the
+        semantics each AA's upsampler sees in the unfused path (host
+        edge-pad)."""
+        d_first = jnp.clip((0 - (t0 - H * p)) // p, 0, S - 1)
+        d_last = jnp.clip((n_time - 1 - (t0 - H * p)) // p, 0, S - 1)
+        vf = jnp.sum(jnp.where(rows_i == d_first, arr, 0.0), axis=0,
+                     keepdims=True)
+        vf = jnp.where(lane < c, vf, 0.0)
+        accf = vf
+        for g in range(1, p):
+            accf = accf + pltpu.roll(vf, g * c, 1)
+        g_last = (n_time - 1) % p
+        vl = jnp.sum(jnp.where(rows_i == d_last, arr, 0.0), axis=0,
+                     keepdims=True)
+        vl = jnp.where(lane // c == g_last, vl, 0.0)
+        accl = jnp.zeros_like(vl)
+        for g in range(p):
+            shift = ((g - g_last) % p) * c
+            accl = accl + (vl if shift == 0 else pltpu.roll(vl, shift, 1))
+        arr = jnp.where(qg < 0, accf, arr)
+        return jnp.where(qg > n_time - 1, accl, arr)
+
+    def conv(arr, w_ref, b_ref, q_min, k2):
+        m = max(-q_min, q_min + k2 - 1, 1)  # row pad covering the q range
+        z = jnp.zeros((m, 128), arr.dtype)
+        arrp = jnp.concatenate([z, arr, z], axis=0)
+        acc = jnp.dot(arrp[m + q_min: m + q_min + S, :],
+                      w_ref[0], preferred_element_type=jnp.float32)
+        for i in range(1, k2):
+            acc = acc + jnp.dot(
+                arrp[m + q_min + i: m + q_min + i + S, :], w_ref[i],
+                preferred_element_type=jnp.float32)
+        return acc + b_ref[0, :]
+
+    h1 = zero_outside(antialias(xt, a1_ref[0, :].astype(jnp.float32)))
+    c1 = replicate_outside(conv(h1, w1_ref, b1_ref, q1_min, k2_1))
+    h2 = zero_outside(antialias(c1, a2_ref[0, :].astype(jnp.float32)))
+    c2 = conv(h2, w2_ref, b2_ref, q2_min, k2_2)
+    out = xt + c2
+    out_ref[0] = out[H: H + R, :].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("dilation", "tile", "interpret"))
+def fused_amp_layer(x, alpha1, w1, b1, alpha2, w2, b2, dilation: int,
+                    tile: int = 0, interpret: bool = False):
+    """One fused AMPLayer: x [B, T, C] (C in {16, 32, 64}),
+    alpha* [C], w1 [k, C, C] (dilated), w2 [k, C, C] (dilation 1),
+    b* [C] -> [B, T, C]. Equals
+    x + conv2(AA2(conv1(AA1(x)))) with SAME convs."""
+    B, T, C = x.shape
+    p = 128 // C
+    k = w1.shape[0]
+    if tile == 0:
+        tile = 2048
+    tile = max(tile, 8 * p)
+
+    # halo: AA (6 samples) + conv1 ((k-1)/2*d) + AA + conv2 ((k-1)/2),
+    # in rows, plus PAD slack per stage
+    need = 6 + (k - 1) // 2 * dilation + 6 + (k - 1) // 2
+    H = -(-need // p) + 8
+    H = -(-H // 8) * 8  # 8-row alignment for the DMA
+
+    pad_t = (-T) % tile
+    Tp = T + pad_t
+    halo_s = H * p
+    xp = jnp.pad(x, ((0, 0), (halo_s, halo_s + pad_t), (0, 0)), mode="edge")
+    xf = xp.reshape(B, (Tp + 2 * halo_s) // p, 128)
+
+    W1, q1_min = _pack_conv_weight(w1, p, dilation)
+    W2, q2_min = _pack_conv_weight(w2, p, 1)
+    R = tile // p
+    n_tiles = Tp // tile
+
+    vspec = lambda shape: pl.BlockSpec(
+        shape, lambda b, t: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, rows=R, halo=H, p=p, c=C, n_time=T,
+            q1_min=q1_min, k2_1=W1.shape[0], q2_min=q2_min,
+            k2_2=W2.shape[0]),
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles * R, 128), x.dtype),
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            vspec((1, 128)), vspec((1, 128)),
+            vspec(W1.shape), vspec((1, 128)),
+            vspec(W2.shape), vspec((1, 128)),
+        ],
+        out_specs=pl.BlockSpec((1, R, 128), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((R + 2 * H, 128), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xf, jnp.tile(alpha1, p)[None, :], jnp.tile(alpha2, p)[None, :],
+      W1, jnp.tile(b1, p)[None, :], W2, jnp.tile(b2, p)[None, :])
+    return out.reshape(B, Tp, C)[:, :T, :]

@@ -127,14 +127,16 @@ class AntiAliasActivation(nn.Module):
     On TPU the sandwich runs as one fused Pallas kernel
     (ops.pallas.snake) — identical numerics, ~3x less HBM traffic;
     elsewhere (and under ``use_pallas=False``) the three-op XLA path.
+    Setup-style so parents (the fused AMPLayer) can read ``.act.alpha``.
     """
 
     channels: int
     use_pallas: bool = None  # None = auto (TPU only)
 
-    @nn.compact
+    def setup(self):
+        self.act = Snake(self.channels)
+
     def __call__(self, x):
-        alpha_holder = Snake(self.channels, name="act")
         use_pallas = self.use_pallas
         if use_pallas is None:
             import jax
@@ -143,7 +145,7 @@ class AntiAliasActivation(nn.Module):
         if use_pallas:
             from promptttspp_tpu.ops.pallas.snake import fused_antialias_snake
 
-            return fused_antialias_snake(x, alpha_holder.alpha)
+            return fused_antialias_snake(x, self.act.alpha)
         x = upsample2(x, 2, 12)
-        x = alpha_holder(x)
+        x = self.act(x)
         return downsample2(x, 2, 12)

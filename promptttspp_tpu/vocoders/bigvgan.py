@@ -75,52 +75,67 @@ class ConvTranspose1d(nn.Module):
 
 
 class PackableConv1d(nn.Module):
-    """SAME dilated conv with the space-to-depth MXU packing for narrow
-    channels on TPU (ops.packed_conv.packed_conv1d); parameter layout is
-    identical to nn.Conv so checkpoints are unaffected."""
+    """SAME dilated conv; parameter layout identical to nn.Conv so
+    checkpoints are unaffected. Setup-style so parents (the fused
+    AMPLayer) can read ``.kernel``/``.bias``."""
 
     features: int
+    in_features: int
     kernel_size: int
     dilation: int = 1
 
-    @nn.compact
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size, self.in_features, self.features))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,))
+
     def __call__(self, x):
         import jax as _jax
 
-        from promptttspp_tpu.ops.packed_conv import packed_conv1d
-
-        C = x.shape[-1]
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(),
-            (self.kernel_size, C, self.features))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        # measured on v5e: XLA's plain lowering already beats the packed
-        # form at these shapes, so packing stays opt-in
-        pack = 0
-        if pack > 1 and _jax.default_backend() == "tpu":
-            return packed_conv1d(x, kernel, self.dilation, pack, bias)
         y = _jax.lax.conv_general_dilated(
-            x, kernel, (1,), "SAME", rhs_dilation=(self.dilation,),
+            x, self.kernel, (1,), "SAME", rhs_dilation=(self.dilation,),
             dimension_numbers=("NHC", "HIO", "NHC"))
-        return y + bias
+        return y + self.bias
 
 
 class AMPLayer(nn.Module):
     """AA-snake -> dilated conv -> AA-snake -> conv, residual
-    (`bigvgan.py:20-50`)."""
+    (`bigvgan.py:20-50`).
+
+    On TPU with narrow channels (C in {16, 32, 64}) the entire layer runs
+    as ONE fused Pallas kernel (ops.pallas.amp) — one HBM read/write per
+    tile instead of eight."""
 
     channels: int
     kernel_size: int
     dilation: int
 
-    @nn.compact
+    def setup(self):
+        self.act1 = AntiAliasActivation(self.channels)
+        self.conv1 = PackableConv1d(self.channels, self.channels,
+                                    self.kernel_size,
+                                    dilation=self.dilation)
+        self.act2 = AntiAliasActivation(self.channels)
+        self.conv2 = PackableConv1d(self.channels, self.channels,
+                                    self.kernel_size)
+
     def __call__(self, x):
-        y = AntiAliasActivation(self.channels, name="act1")(x)
-        y = PackableConv1d(self.channels, self.kernel_size,
-                           dilation=self.dilation, name="conv1")(y)
-        y = AntiAliasActivation(self.channels, name="act2")(y)
-        y = PackableConv1d(self.channels, self.kernel_size,
-                           name="conv2")(y)
+        import jax as _jax
+
+        C = self.channels
+        if C in (16, 32, 64) and _jax.default_backend() == "tpu":
+            from promptttspp_tpu.ops.pallas.amp import fused_amp_layer
+
+            return fused_amp_layer(
+                x, self.act1.act.alpha, self.conv1.kernel, self.conv1.bias,
+                self.act2.act.alpha, self.conv2.kernel, self.conv2.bias,
+                self.dilation)
+        y = self.act1(x)
+        y = self.conv1(y)
+        y = self.act2(y)
+        y = self.conv2(y)
         return x + y
 
 

@@ -1,0 +1,48 @@
+"""Fused AMPLayer kernel vs the unfused module composition (interpret
+mode on CPU; compiles natively on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from promptttspp_tpu.ops.pallas.amp import fused_amp_layer
+from promptttspp_tpu.vocoders.activations import (
+    downsample2, snake, upsample2)
+
+
+def unfused(x, a1, w1, b1, a2, w2, b2, dilation):
+    y = downsample2(snake(upsample2(x), a1))
+    y = jax.lax.conv_general_dilated(
+        y, w1, (1,), "SAME", rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC")) + b1
+    y = downsample2(snake(upsample2(y), a2))
+    y = jax.lax.conv_general_dilated(
+        y, w2, (1,), "SAME",
+        dimension_numbers=("NHC", "HIO", "NHC")) + b2
+    return x + y
+
+
+@pytest.mark.parametrize("T,C,k,dil,tile", [
+    (400, 32, 3, 1, 128),
+    (400, 32, 11, 5, 128),
+    (300, 64, 7, 3, 128),
+    (97, 32, 3, 5, 64),      # short input, odd length
+    (520, 16, 11, 5, 256),   # p=8
+])
+def test_fused_amp_matches_unfused(T, C, k, dil, tile):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, T, C).astype(np.float32) * 0.3)
+    a1 = jnp.asarray(rng.randn(C).astype(np.float32) * 0.2)
+    a2 = jnp.asarray(rng.randn(C).astype(np.float32) * 0.2)
+    w1 = jnp.asarray(rng.randn(k, C, C).astype(np.float32) * 0.05)
+    w2 = jnp.asarray(rng.randn(k, C, C).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)
+
+    ref = unfused(x, a1, w1, b1, a2, w2, b2, dil)
+    out = fused_amp_layer(x, a1, w1, b1, a2, w2, b2, dil, tile=tile,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5,
+                               rtol=1e-3)
