@@ -55,7 +55,8 @@ def _to_torch_key(path: Tuple[str, ...]) -> str:
                             "mlp", "adaptor", "convs1", "convs2",
                             "activations", "residual_layers", "time_mlp",
                             "to_out", "mid_block", "in_block", "out_block",
-                            "net", "flows"):
+                            "net", "flows", "decoders", "conv", "out",
+                            "embed"):
                     parts.append(f"{head}.{tail}")
                     continue
         parts.append(p)

@@ -62,3 +62,38 @@ def expand_by_durations(x, durations, phone_mask, num_frames: int):
 def to_log_scale(x):
     """log of nonzero entries, zeros stay zero (`utils/model.py:62-64`)."""
     return jnp.where(x != 0, jnp.log(jnp.where(x != 0, x, 1.0)), x)
+
+
+def subsequent_mask(size: int):
+    """Causal bool [size, size]: True at (t, s) iff s <= t. Equivalent of
+    `modules/esp/transformer/mask.py:20-38`."""
+    idx = jnp.arange(size)
+    return idx[None, :] <= idx[:, None]
+
+
+def target_mask(ys_in_pad, ignore_id: int):
+    """Decoder self-attention mask [B, L, L]: padding AND causal
+    (`mask.py:41-51`)."""
+    ys_mask = ys_in_pad != ignore_id  # [B, L]
+    return ys_mask[:, None, :] & subsequent_mask(ys_in_pad.shape[-1])[None]
+
+
+def add_sos_eos(ys_pad, sos: int, eos: int, ignore_id: int):
+    """Prepend <sos> / append <eos> to padded targets, static shapes.
+
+    Equivalent of `modules/esp/transformer/add_sos_eos.py:13-30` for the
+    standard trailing-padding layout: ys_pad int [B, L] padded with
+    ``ignore_id`` -> (ys_in [B, L+1] = [sos]+ys padded with eos,
+    ys_out [B, L+1] = ys+[eos] padded with ignore_id). The reference's
+    list-of-tensors round trip becomes a shift + one scatter-free where.
+    """
+    B, L = ys_pad.shape
+    lengths = jnp.sum(ys_pad != ignore_id, axis=1)  # [B]
+    pos = jnp.arange(L + 1)
+    ys_ext = jnp.pad(ys_pad, ((0, 0), (0, 1)), constant_values=ignore_id)
+    ys_in = jnp.concatenate(
+        [jnp.full((B, 1), sos, ys_pad.dtype), ys_pad], axis=1)
+    ys_in = jnp.where(pos[None, :] <= lengths[:, None], ys_in, eos)
+    ys_out = jnp.where(pos[None, :] == lengths[:, None], eos, ys_ext)
+    ys_out = jnp.where(pos[None, :] > lengths[:, None], ignore_id, ys_out)
+    return ys_in, ys_out

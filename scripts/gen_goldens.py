@@ -615,9 +615,80 @@ def gen_lightconv():
          out_dc=out_dc.numpy(),
          **sd_to_np(lc, prefix="lc."), **sd_to_np(dc, prefix="dc."))
 
+def gen_decoder():
+    from promptttspp.modules.esp.transformer.decoder import Decoder
+    from promptttspp.modules.esp.transformer.mask import target_mask
+
+    rng = np.random.RandomState(31)
+    B, L, T, D, V = 2, 9, 13, 32, 20
+    memory = rng.randn(B, T, D).astype(np.float32)
+    mem_lens = np.array([13, 8])
+    mem_mask = (np.arange(T)[None] < mem_lens[:, None])[:, None, :]  # [B,1,T]
+    ys = rng.randint(1, V, size=(B, L)).astype(np.int64)
+    ys[0, 7:] = -1  # trailing padding (ignore_id)
+    ys[1, 5:] = -1
+    tm = target_mask(torch.from_numpy(ys), -1)
+    ys_clamped = np.where(ys == -1, 0, ys)
+
+    for variant in ("selfattn", "lightconv2d", "dynamicconv2d"):
+        torch.manual_seed(31)
+        dec = Decoder(
+            odim=V, selfattention_layer_type=variant, attention_dim=D,
+            attention_heads=4, conv_wshare=4, conv_kernel_length="5_5",
+            conv_usebias=True, linear_units=64, num_blocks=2,
+            dropout_rate=0.0, positional_dropout_rate=0.0,
+            self_attention_dropout_rate=0.0, src_attention_dropout_rate=0.0,
+        ).eval()
+        with torch.no_grad():
+            out, _ = dec(torch.from_numpy(ys_clamped), tm,
+                         torch.from_numpy(memory),
+                         torch.from_numpy(mem_mask))
+        extra = {}
+        if variant == "selfattn":
+            # incremental API golden: stepwise log-probs for sample 0
+            cache = None
+            steps = []
+            from promptttspp.modules.esp.transformer.mask import (
+                subsequent_mask)
+            for t in range(1, 5):
+                with torch.no_grad():
+                    logp, cache = dec.forward_one_step(
+                        torch.from_numpy(ys_clamped[:1, :t]),
+                        subsequent_mask(t).unsqueeze(0),
+                        torch.from_numpy(memory[:1]), cache=cache)
+                steps.append(logp.numpy())
+            extra["onestep"] = np.stack(steps)
+        save(f"decoder_{variant}", ys=ys, memory=memory,
+             mem_mask=mem_mask.astype(np.float32),
+             tgt_mask=tm.numpy().astype(np.float32), out=out.numpy(),
+             **extra, **sd_to_np(dec))
+
+
+def gen_subsampling():
+    from promptttspp.modules.esp.transformer.subsampling import (
+        Conv2dSubsampling, Conv2dSubsampling6, Conv2dSubsampling8)
+
+    rng = np.random.RandomState(33)
+    B, T, F = 2, 31, 40
+    x = rng.randn(B, T, F).astype(np.float32)
+    lens = np.array([31, 20])
+    mask = (np.arange(T)[None] < lens[:, None])[:, None, :]  # [B, 1, T]
+    for name, cls in (("4", Conv2dSubsampling), ("6", Conv2dSubsampling6),
+                      ("8", Conv2dSubsampling8)):
+        torch.manual_seed(33)
+        sub = cls(idim=F, odim=32, dropout_rate=0.0).eval()
+        with torch.no_grad():
+            out, m = sub(torch.from_numpy(x), torch.from_numpy(mask))
+        save(f"subsampling_{name}", x=x, mask=mask.astype(np.float32),
+             out=out.numpy(), out_mask=m.numpy().astype(np.float32),
+             **sd_to_np(sub))
+
+
 if __name__ == "__main__":
     which = sys.argv[1:] or ["conformer", "mdn", "predictors", "frame_prior",
                              "style_encoder", "diffusion", "variance_adaptor",
-                             "model", "vocoder", "nnsvs", "local_nets", "aux_nets", "lightconv"]
+                             "model", "vocoder", "nnsvs", "local_nets",
+                             "aux_nets", "lightconv", "decoder",
+                             "subsampling"]
     for name in which:
         globals()[f"gen_{name}"]()
