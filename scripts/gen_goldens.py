@@ -664,6 +664,38 @@ def gen_decoder():
              **extra, **sd_to_np(dec))
 
 
+def gen_transformer_encoder():
+    from promptttspp.modules.esp.transformer.encoder import Encoder
+
+    rng = np.random.RandomState(37)
+    B, T, F = 2, 23, 40
+    x = rng.randn(B, T, F).astype(np.float32)
+    lens = np.array([23, 15])
+    mask = (np.arange(T)[None] < lens[:, None])[:, None, :]  # [B, 1, T]
+    cases = {
+        "conv2d": dict(input_layer="conv2d",
+                       selfattention_layer_type="selfattn",
+                       positionwise_layer_type="linear"),
+        "linear_lightconv": dict(input_layer="linear",
+                                 selfattention_layer_type="lightconv",
+                                 conv_kernel_length="5_5",
+                                 positionwise_layer_type="conv1d",
+                                 positionwise_conv_kernel_size=3),
+    }
+    for name, kw in cases.items():
+        torch.manual_seed(37)
+        enc = Encoder(
+            idim=F, attention_dim=32, attention_heads=4, linear_units=64,
+            num_blocks=2, dropout_rate=0.0, positional_dropout_rate=0.0,
+            attention_dropout_rate=0.0, conv_wshare=4, conv_usebias=True,
+            **kw).eval()
+        with torch.no_grad():
+            out, m = enc(torch.from_numpy(x), torch.from_numpy(mask))
+        save(f"trans_encoder_{name}", x=x, mask=mask.astype(np.float32),
+             out=out.numpy(), out_mask=m.numpy().astype(np.float32),
+             **sd_to_np(enc))
+
+
 def gen_subsampling():
     from promptttspp.modules.esp.transformer.subsampling import (
         Conv2dSubsampling, Conv2dSubsampling6, Conv2dSubsampling8)
@@ -689,6 +721,6 @@ if __name__ == "__main__":
                              "style_encoder", "diffusion", "variance_adaptor",
                              "model", "vocoder", "nnsvs", "local_nets",
                              "aux_nets", "lightconv", "decoder",
-                             "subsampling"]
+                             "subsampling", "transformer_encoder"]
     for name in which:
         globals()[f"gen_{name}"]()

@@ -82,6 +82,37 @@ def test_subsampling_parity(name, cls_name):
     np.testing.assert_array_equal(np.asarray(m), data["out_mask"] > 0)
 
 
+@pytest.mark.parametrize("case,kw", [
+    ("conv2d", dict(input_layer="conv2d",
+                    selfattention_layer_type="selfattn",
+                    positionwise_layer_type="linear")),
+    ("linear_lightconv", dict(input_layer="linear",
+                              selfattention_layer_type="lightconv",
+                              conv_kernel_length="5_5",
+                              positionwise_layer_type="conv1d",
+                              positionwise_conv_kernel_size=3)),
+])
+def test_transformer_encoder_parity(case, kw):
+    from promptttspp_tpu.nn.transformer_encoder import TransformerEncoder
+
+    data = dict(np.load(GOLDENS / f"trans_encoder_{case}.npz"))
+    enc = TransformerEncoder(
+        idim=40, attention_dim=32, attention_heads=4, linear_units=64,
+        num_blocks=2, dropout_rate=0.0, positional_dropout_rate=0.0,
+        attention_dropout_rate=0.0, conv_wshare=4, conv_usebias=True, **kw)
+    x = jnp.asarray(data["x"])
+    mask = jnp.asarray(data["mask"]) > 0
+    variables = enc.init(jax.random.PRNGKey(0), x, mask)
+    sd = {k: v for k, v in data.items()
+          if k not in ("x", "mask", "out", "out_mask")}
+    params = convert_tree(variables["params"], sd)
+    out, m = enc.apply({"params": params}, x, mask)
+    valid = np.asarray(data["out_mask"])[:, 0, :] > 0  # [B, T']
+    np.testing.assert_allclose(np.asarray(out)[valid], data["out"][valid],
+                               atol=3e-5, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(m), data["out_mask"] > 0)
+
+
 def test_add_sos_eos_and_target_mask():
     import torch
 
