@@ -35,10 +35,16 @@ from promptttspp_tpu.vocoders.activations import kaiser_sinc_filter1d
 
 
 def _pack_conv_weight(w, pack: int, dilation: int):
-    """[k, C, C] -> (W2 [k2, 128, 128], q_min). Same math as
-    ops/packed_conv.packed_conv1d."""
+    """[k, C, C] -> (W2 [k2, 128, 128], q_min, q_stride). Same math as
+    ops/packed_conv.packed_conv1d.
+
+    For pack == 1 (C = 128) the taps stay on the dilated grid
+    (q_stride = dilation) instead of densifying — a k=11 d=5 conv is 11
+    MXU matmuls, not 51 mostly-zero ones."""
     k, C, _ = w.shape
     P = pack
+    if P == 1:
+        return w, -((k - 1) // 2) * dilation, max(dilation, 1)
     c_half = (k - 1) // 2 * dilation
     q_min = (-c_half) // P
     q_max = ((P - 1) + c_half) // P
@@ -50,12 +56,13 @@ def _pack_conv_weight(w, pack: int, dilation: int):
             q, s = o // P, o % P
             w2 = w2.at[q - q_min, s * C:(s + 1) * C,
                        r * C:(r + 1) * C].add(w[j])
-    return w2, q_min
+    return w2, q_min, 1
 
 
 def _kernel(x_hbm, a1_ref, a2_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
             scratch, sem, *, rows: int, halo: int, p: int, c: int,
-            n_time: int, q1_min: int, k2_1: int, q2_min: int, k2_2: int):
+            n_time: int, q1_min: int, k2_1: int, q1_stride: int,
+            q2_min: int, k2_2: int, q2_stride: int, mxu_bf16: bool):
     b = pl.program_id(0)
     t_idx = pl.program_id(1)
     R, H = rows, halo
@@ -163,31 +170,40 @@ def _kernel(x_hbm, a1_ref, a2_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
         arr = jnp.where(qg < 0, accf, arr)
         return jnp.where(qg > n_time - 1, accl, arr)
 
-    def conv(arr, w_ref, b_ref, q_min, k2):
-        m = max(-q_min, q_min + k2 - 1, 1)  # row pad covering the q range
+    def conv(arr, w_ref, b_ref, q_min, k2, stride):
+        # row pad covering the q range
+        m = max(-q_min, q_min + (k2 - 1) * stride, 1)
         z = jnp.zeros((m, 128), arr.dtype)
         arrp = jnp.concatenate([z, arr, z], axis=0)
+        # jax's default matmul precision on TPU is bf16; mxu_bf16 applies
+        # the same trade here (4x MXU throughput), f32 accumulation
+        dt = jnp.bfloat16 if mxu_bf16 else jnp.float32
+        arrp = arrp.astype(dt)
         acc = jnp.dot(arrp[m + q_min: m + q_min + S, :],
-                      w_ref[0], preferred_element_type=jnp.float32)
+                      w_ref[0].astype(dt), preferred_element_type=jnp.float32)
         for i in range(1, k2):
+            o = m + q_min + i * stride
             acc = acc + jnp.dot(
-                arrp[m + q_min + i: m + q_min + i + S, :], w_ref[i],
+                arrp[o: o + S, :], w_ref[i].astype(dt),
                 preferred_element_type=jnp.float32)
         return acc + b_ref[0, :]
 
     h1 = zero_outside(antialias(xt, a1_ref[0, :].astype(jnp.float32)))
-    c1 = replicate_outside(conv(h1, w1_ref, b1_ref, q1_min, k2_1))
+    c1 = replicate_outside(
+        conv(h1, w1_ref, b1_ref, q1_min, k2_1, q1_stride))
     h2 = zero_outside(antialias(c1, a2_ref[0, :].astype(jnp.float32)))
-    c2 = conv(h2, w2_ref, b2_ref, q2_min, k2_2)
+    c2 = conv(h2, w2_ref, b2_ref, q2_min, k2_2, q2_stride)
     out = xt + c2
     out_ref[0] = out[H: H + R, :].astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("dilation", "tile", "interpret"))
+                   static_argnames=("dilation", "tile", "interpret",
+                                    "mxu_bf16"))
 def fused_amp_layer(x, alpha1, w1, b1, alpha2, w2, b2, dilation: int,
-                    tile: int = 0, interpret: bool = False):
-    """One fused AMPLayer: x [B, T, C] (C in {16, 32, 64}),
+                    tile: int = 0, interpret: bool = False,
+                    mxu_bf16: bool = False):
+    """One fused AMPLayer: x [B, T, C] (C in {16, 32, 64, 128}),
     alpha* [C], w1 [k, C, C] (dilated), w2 [k, C, C] (dilation 1),
     b* [C] -> [B, T, C]. Equals
     x + conv2(AA2(conv1(AA1(x)))) with SAME convs."""
@@ -195,7 +211,9 @@ def fused_amp_layer(x, alpha1, w1, b1, alpha2, w2, b2, dilation: int,
     p = 128 // C
     k = w1.shape[0]
     if tile == 0:
-        tile = 2048
+        # p == 1 keeps one sample per row: smaller tile so the ~10 live
+        # [S, 128] f32 stage buffers stay within VMEM
+        tile = 1024 if p == 1 else 2048
     tile = max(tile, 8 * p)
 
     # halo: AA (6 samples) + conv1 ((k-1)/2*d) + AA + conv2 ((k-1)/2),
@@ -210,8 +228,8 @@ def fused_amp_layer(x, alpha1, w1, b1, alpha2, w2, b2, dilation: int,
     xp = jnp.pad(x, ((0, 0), (halo_s, halo_s + pad_t), (0, 0)), mode="edge")
     xf = xp.reshape(B, (Tp + 2 * halo_s) // p, 128)
 
-    W1, q1_min = _pack_conv_weight(w1, p, dilation)
-    W2, q2_min = _pack_conv_weight(w2, p, 1)
+    W1, q1_min, q1_stride = _pack_conv_weight(w1, p, dilation)
+    W2, q2_min, q2_stride = _pack_conv_weight(w2, p, 1)
     R = tile // p
     n_tiles = Tp // tile
 
@@ -220,8 +238,9 @@ def fused_amp_layer(x, alpha1, w1, b1, alpha2, w2, b2, dilation: int,
     out = pl.pallas_call(
         functools.partial(
             _kernel, rows=R, halo=H, p=p, c=C, n_time=T,
-            q1_min=q1_min, k2_1=W1.shape[0], q2_min=q2_min,
-            k2_2=W2.shape[0]),
+            q1_min=q1_min, k2_1=W1.shape[0], q1_stride=q1_stride,
+            q2_min=q2_min, k2_2=W2.shape[0], q2_stride=q2_stride,
+            mxu_bf16=mxu_bf16),
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * R, 128), x.dtype),
         grid=(B, n_tiles),
         in_specs=[

@@ -104,13 +104,16 @@ class AMPLayer(nn.Module):
     """AA-snake -> dilated conv -> AA-snake -> conv, residual
     (`bigvgan.py:20-50`).
 
-    On TPU with narrow channels (C in {16, 32, 64}) the entire layer runs
-    as ONE fused Pallas kernel (ops.pallas.amp) — one HBM read/write per
-    tile instead of eight."""
+    On TPU with C <= 128 the entire layer runs as ONE fused Pallas
+    kernel (ops.pallas.amp) — one HBM read/write per tile instead of
+    eight. ``conv_precision``: "default" runs the kernel's channel-mixing
+    matmuls in bf16 with f32 accumulation (jax's own default matmul
+    precision on TPU); "highest" keeps them f32-exact."""
 
     channels: int
     kernel_size: int
     dilation: int
+    conv_precision: str = "default"
 
     def setup(self):
         self.act1 = AntiAliasActivation(self.channels)
@@ -125,13 +128,14 @@ class AMPLayer(nn.Module):
         import jax as _jax
 
         C = self.channels
-        if C in (16, 32, 64) and _jax.default_backend() == "tpu":
+        if C in (16, 32, 64, 128) and _jax.default_backend() == "tpu":
             from promptttspp_tpu.ops.pallas.amp import fused_amp_layer
 
             return fused_amp_layer(
                 x, self.act1.act.alpha, self.conv1.kernel, self.conv1.bias,
                 self.act2.act.alpha, self.conv2.kernel, self.conv2.bias,
-                self.dilation)
+                self.dilation,
+                mxu_bf16=self.conv_precision != "highest")
         y = self.act1(x)
         y = self.conv1(y)
         y = self.act2(y)
@@ -145,11 +149,13 @@ class AMPBlock(nn.Module):
     channels: int
     kernel_size: int
     dilations: Sequence[int]
+    conv_precision: str = "default"
 
     @nn.compact
     def __call__(self, x):
         for i, d in enumerate(self.dilations):
             x = AMPLayer(self.channels, self.kernel_size, d,
+                         conv_precision=self.conv_precision,
                          name=f"layers_{i}")(x)
         return x
 
@@ -160,6 +166,7 @@ class MRFStage(nn.Module):
     channels: int
     resblock_kernel_sizes: Sequence[int]
     resblock_dilations: Sequence[Sequence[int]]
+    conv_precision: str = "default"
 
     @nn.compact
     def __call__(self, x):
@@ -169,7 +176,9 @@ class MRFStage(nn.Module):
         ):
             # named by bare index: the torch side is an anonymous nested
             # ModuleList ("mrfs.<i>.<j>.layers...")
-            acc = acc + AMPBlock(self.channels, k, tuple(d), name=str(j))(x)
+            acc = acc + AMPBlock(self.channels, k, tuple(d),
+                                 conv_precision=self.conv_precision,
+                                 name=str(j))(x)
         return acc / len(self.resblock_kernel_sizes)
 
 
@@ -180,6 +189,7 @@ class BigVGAN(nn.Module):
     upsample_kernel_sizes: Sequence[int] = (12, 10, 8, 4)
     resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
     resblock_dilations: Sequence[Sequence[int]] = ((1, 3, 5),) * 3
+    conv_precision: str = "default"
 
     def setup(self):
         self.conv_pre = conv1d(self.upsample_initial_channel, 7,
@@ -195,7 +205,7 @@ class BigVGAN(nn.Module):
                 name=f"upsamples_{i}"))
             mrfs.append(MRFStage(
                 ch, self.resblock_kernel_sizes, self.resblock_dilations,
-                name=f"mrfs_{i}"))
+                conv_precision=self.conv_precision, name=f"mrfs_{i}"))
         self.upsamples = ups
         self.mrfs = mrfs
         last_ch = self.upsample_initial_channel // (2 ** len(self.upsample_rates))

@@ -30,6 +30,7 @@ class F0AwareBigVGAN(nn.Module):
     upsample_kernel_sizes: Sequence[int] = (12, 10, 8, 4)
     resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
     resblock_dilations: Sequence[Sequence[int]] = ((1, 3, 5),) * 3
+    conv_precision: str = "default"  # see bigvgan.AMPLayer
 
     def setup(self):
         self.m_source = SourceModuleHnNSF(
@@ -60,7 +61,7 @@ class F0AwareBigVGAN(nn.Module):
                     name=f"noise_convs_{i}"))
             mrfs.append(MRFStage(
                 ch, self.resblock_kernel_sizes, self.resblock_dilations,
-                name=f"mrfs_{i}"))
+                conv_precision=self.conv_precision, name=f"mrfs_{i}"))
         self.upsamples = ups
         self.noise_convs = noise_convs
         self.mrfs = mrfs

@@ -30,6 +30,8 @@ def unfused(x, a1, w1, b1, a2, w2, b2, dilation):
     (300, 64, 7, 3, 128),
     (97, 32, 3, 5, 64),      # short input, odd length
     (520, 16, 11, 5, 256),   # p=8
+    (400, 128, 11, 5, 128),  # p=1 (row-per-sample, strided dilated taps)
+    (300, 128, 7, 3, 128),   # p=1
 ])
 def test_fused_amp_matches_unfused(T, C, k, dil, tile):
     rng = np.random.RandomState(0)
@@ -46,3 +48,22 @@ def test_fused_amp_matches_unfused(T, C, k, dil, tile):
                           interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5,
                                rtol=1e-3)
+
+
+def test_fused_amp_mxu_bf16():
+    """conv_precision="default" (bf16 MXU matmuls, f32 accumulation):
+    same result to bf16 input-rounding tolerance."""
+    rng = np.random.RandomState(5)
+    T, C, k, dil = 300, 32, 7, 3
+    x = jnp.asarray(rng.randn(1, T, C).astype(np.float32) * 0.3)
+    a1 = jnp.asarray(rng.randn(C).astype(np.float32) * 0.2)
+    a2 = jnp.asarray(rng.randn(C).astype(np.float32) * 0.2)
+    w1 = jnp.asarray(rng.randn(k, C, C).astype(np.float32) * 0.05)
+    w2 = jnp.asarray(rng.randn(k, C, C).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)
+    ref = unfused(x, a1, w1, b1, a2, w2, b2, dil)
+    out = fused_amp_layer(x, a1, w1, b1, a2, w2, b2, dil, tile=128,
+                          interpret=True, mxu_bf16=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-2,
+                               rtol=1e-2)
