@@ -64,22 +64,33 @@ class ResidualBlock(nn.Module):
     kernel_size: int
     dilation: int
 
-    @nn.compact
-    def __call__(self, x, conditioner, diffusion_step, mask=None):
-        """x [B,T,R]; conditioner [B,T,H]; diffusion_step [B,R]."""
-        step = nn.Dense(self.residual_channels, name="diffusion_projection")(
-            diffusion_step
-        )[:, None, :]
-        cond = conv1d(2 * self.residual_channels, 1,
-                      name="conditioner_projection")(conditioner)
-        y = x + step
-        y = conv1d(
+    def setup(self):
+        self.diffusion_projection = nn.Dense(
+            self.residual_channels, name="diffusion_projection")
+        self.conditioner_projection = conv1d(
+            2 * self.residual_channels, 1, name="conditioner_projection")
+        self.dilated_conv = conv1d(
             2 * self.residual_channels, self.kernel_size,
-            dilation=self.dilation, name="dilated_conv",
-        )(y) + cond
+            dilation=self.dilation, name="dilated_conv")
+        self.output_projection = conv1d(
+            2 * self.residual_channels, 1, name="output_projection")
+
+    def cond_proj(self, conditioner):
+        """[B,T,H] -> [B,T,2R]: the sampling loop hoists this (it does not
+        depend on x or t) so 100 scan steps don't recompute/restream it."""
+        return self.conditioner_projection(conditioner)
+
+    def __call__(self, x, conditioner, diffusion_step, mask=None,
+                 cond_proj=None):
+        """x [B,T,R]; conditioner [B,T,H]; diffusion_step [B,R]."""
+        step = self.diffusion_projection(diffusion_step)[:, None, :]
+        cond = (self.conditioner_projection(conditioner)
+                if cond_proj is None else cond_proj)
+        y = x + step
+        y = self.dilated_conv(y) + cond
         gate, filt = jnp.split(y, 2, axis=-1)
         y = nn.sigmoid(gate) * jnp.tanh(filt)
-        y = conv1d(2 * self.residual_channels, 1, name="output_projection")(y)
+        y = self.output_projection(y)
         if mask is not None:
             y = y * mask
         residual, skip = jnp.split(y, 2, axis=-1)
@@ -100,31 +111,49 @@ class DiffNet(nn.Module):
     dilation_cycle_length: int = 4
     scale: float = 1.0
 
-    @nn.compact
-    def __call__(self, x, diffusion_step, cond, mask=None):
-        x = conv1d(self.residual_channels, 1, name="input_projection")(x)
+    def setup(self):
+        self.input_projection = conv1d(self.residual_channels, 1,
+                                       name="input_projection")
+        self.diffusion_embedding = SinusoidalPosEmb(
+            self.residual_channels, self.scale, name="diffusion_embedding")
+        self.mlp_0 = nn.Dense(self.residual_channels * 4, name="mlp_0")
+        self.mlp_2 = nn.Dense(self.residual_channels, name="mlp_2")
+        self.blocks = [
+            ResidualBlock(
+                self.encoder_hidden_dim, self.residual_channels,
+                self.kernel_size, 2 ** (i % self.dilation_cycle_length),
+                name=f"residual_layers_{i}")
+            for i in range(self.residual_layers)
+        ]
+        self.skip_projection = conv1d(self.residual_channels, 1,
+                                      name="skip_projection")
+        self.out_projection = conv1d(self.in_dim, 1,
+                                     name="output_projection")
+
+    def precompute_cond(self, cond):
+        """All blocks' conditioner projections, computed once per
+        utterance instead of once per denoise step."""
+        return tuple(b.cond_proj(cond) for b in self.blocks)
+
+    def __call__(self, x, diffusion_step, cond, mask=None, cond_projs=None):
+        x = self.input_projection(x)
         x = nn.relu(x)
-        t_emb = SinusoidalPosEmb(self.residual_channels, self.scale,
-                                 name="diffusion_embedding")(diffusion_step)
-        t_emb = nn.Dense(self.residual_channels * 4, name="mlp_0")(t_emb)
+        t_emb = self.diffusion_embedding(diffusion_step)
+        t_emb = self.mlp_0(t_emb)
         t_emb = mish(t_emb)
-        t_emb = nn.Dense(self.residual_channels, name="mlp_2")(t_emb)
+        t_emb = self.mlp_2(t_emb)
 
         skip_sum = 0.0
-        for i in range(self.residual_layers):
-            x, skip = ResidualBlock(
-                self.encoder_hidden_dim,
-                self.residual_channels,
-                self.kernel_size,
-                2 ** (i % self.dilation_cycle_length),
-                name=f"residual_layers_{i}",
-            )(x, cond, t_emb, mask)
+        for i, block in enumerate(self.blocks):
+            x, skip = block(
+                x, cond, t_emb, mask,
+                cond_proj=None if cond_projs is None else cond_projs[i])
             skip_sum = skip_sum + skip
 
         x = skip_sum / math.sqrt(self.residual_layers)
-        x = conv1d(self.residual_channels, 1, name="skip_projection")(x)
+        x = self.skip_projection(x)
         x = nn.relu(x)
-        return conv1d(self.in_dim, 1, name="output_projection")(x)
+        return self.out_projection(x)
 
 
 class GaussianDiffusion(nn.Module):
@@ -188,9 +217,17 @@ class GaussianDiffusion(nn.Module):
             - self.sqrt_recipm1_alphas_cumprod[t][:, None, None] * noise
         )
 
-    def p_sample(self, x, t, cond, noise, clip_denoised: bool = True):
+    def _eps(self, x, t, cond, cond_projs=None):
+        """denoise_fn call; only DiffNet-style denoisers understand the
+        hoisted cond_projs kwarg (others, e.g. the U-Net, take none)."""
+        if cond_projs is None:
+            return self.denoise_fn(x, t, cond)
+        return self.denoise_fn(x, t, cond, cond_projs=cond_projs)
+
+    def p_sample(self, x, t, cond, noise, clip_denoised: bool = True,
+                 cond_projs=None):
         """One reverse step; noise [B,T,C] (zeros at t==0 handled here)."""
-        eps = self.denoise_fn(x, t, cond)
+        eps = self._eps(x, t, cond, cond_projs)
         x_recon = self.predict_start_from_noise(x, t, eps)
         if clip_denoised:
             x_recon = jnp.clip(x_recon, -1.0, 1.0)
@@ -238,13 +275,21 @@ class GaussianDiffusion(nn.Module):
         else:
             x = x_T
 
+        # hoist the per-block conditioner projections out of the sampling
+        # loop: they depend only on cond, and recomputing them inside the
+        # scan restreams ~20 weight matrices per step x K steps
+        cond_projs = (self.denoise_fn.precompute_cond(cond)
+                      if hasattr(self.denoise_fn, "precompute_cond")
+                      else None)
+
         if self.pndm_speedup:
             # PLMS fast path (the reference stubs this with
             # NotImplementedError at init, `diffusion.py:104-105`; the TPU
             # build supports it — K/interval denoiser calls instead of K)
             interval = int(self.pndm_speedup)
             steps = jnp.arange(self.K_step - interval, -1, -interval)
-            return self._denorm(self._plms_loop(x, steps, interval, cond))
+            return self._denorm(
+                self._plms_loop(x, steps, interval, cond, cond_projs))
 
         if zero_noise:
             noises = jnp.zeros((self.K_step,) + shape, jnp.float32)
@@ -255,7 +300,7 @@ class GaussianDiffusion(nn.Module):
         def step(x, inputs):
             i, noise = inputs
             t = jnp.full((B,), i, jnp.int32)
-            x = self.p_sample(x, t, cond, noise)
+            x = self.p_sample(x, t, cond, noise, cond_projs=cond_projs)
             return x, None
 
         steps = jnp.arange(self.K_step - 1, -1, -1)
@@ -276,7 +321,7 @@ class GaussianDiffusion(nn.Module):
         )
         return x + x_delta
 
-    def _plms_loop(self, x, steps, interval, cond):
+    def _plms_loop(self, x, steps, interval, cond, cond_projs=None):
         """Adams-Bashforth multistep with the eps history in the scan
         carry (reference `diffusion.py:224-277`)."""
         B = x.shape[0]
@@ -284,12 +329,12 @@ class GaussianDiffusion(nn.Module):
         def step_fn(carry, i):
             x, hist, n_hist = carry
             t = jnp.full((B,), i, jnp.int32)
-            eps = self.denoise_fn(x, t, cond)
+            eps = self._eps(x, t, cond, cond_projs)
 
             def order1(_):
                 x_pred = self._x_pred(x, eps, t, interval)
                 t_prev = jnp.maximum(t - interval, 0)
-                eps_prev = self.denoise_fn(x_pred, t_prev, cond)
+                eps_prev = self._eps(x_pred, t_prev, cond, cond_projs)
                 return (eps + eps_prev) / 2.0
 
             def order2(_):
