@@ -120,9 +120,12 @@ def test_add_sos_eos_and_target_mask():
 
     ys = np.array([[3, 4, 5, -1, -1], [6, 7, 8, 9, 2]], np.int32)
     ys_in, ys_out = add_sos_eos(jnp.asarray(ys), sos=1, eos=2, ignore_id=-1)
-    # reference semantics via the list construction
+    # reference semantics via the list construction. APPEND (not prepend):
+    # the reference root also has an app.py/bench.py that would otherwise
+    # shadow ours for tests that run later in the session.
     import sys
-    sys.path.insert(0, "/root/reference")
+    if "/root/reference" not in sys.path:
+        sys.path.append("/root/reference")
     from promptttspp.modules.esp.transformer.add_sos_eos import (
         add_sos_eos as ref_add)
 
