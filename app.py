@@ -53,38 +53,74 @@ def build_synthesizer(cfg):
 
     model = instantiate(cfg.model)
     vocoder = instantiate(cfg.vocoder)
-    variables = load_variables(cfg.model_ckpt)
-    voc_vars = load_variables(cfg.vocoder_ckpt)
+    variables = load_variables(cfg.model_ckpt, "model", cfg)
+    voc_vars = load_variables(cfg.vocoder_ckpt, "vocoder", cfg)
+    to_mel = instantiate(cfg.transforms)
     with open(cfg.mel_stats_file) as f:
         mel_stats = yaml.safe_load(f)
     tokenizer = WordPieceTokenizer.from_vocab_file(cfg.path.bert_vocab_file)
     return Synthesizer(model, variables, vocoder, voc_vars,
-                       mel_stats=mel_stats, tokenizer=tokenizer)
+                       mel_stats=mel_stats, tokenizer=tokenizer,
+                       to_mel=to_mel)
+
+
+def load_wav_24k(path):
+    """Read a wav file and resample to 24 kHz float32 if needed."""
+    from scipy.io import wavfile
+
+    sr, wav = wavfile.read(path)
+    if wav.dtype.kind == "i":
+        wav = wav.astype(np.float32) / np.iinfo(wav.dtype).max
+    wav = wav.astype(np.float32)
+    if wav.ndim > 1:
+        wav = wav.mean(axis=-1)
+    if sr != 24000:
+        from scipy.signal import resample_poly
+
+        wav = resample_poly(wav, 24000, sr).astype(np.float32)
+    return wav
 
 
 def main():
     cfg = compose(REPO / "conf", "demo", overrides=sys.argv[1:])
     synth = build_synthesizer(cfg)
 
-    def synthesize(content, style_prompt):
+    def synthesize(content, style_prompt=None, reference_wav_path=None):
         seq = content_to_sequence(content)
-        wavs, _ = synth.synthesize(
-            [seq], prompts=[style_prompt],
-            use_max=cfg.get("use_max", True),
-            noise_scale=cfg.get("noise_scale", 0.5))
+        kwargs = dict(use_max=cfg.get("use_max", True),
+                      noise_scale=cfg.get("noise_scale", 0.5))
+        if style_prompt is not None:
+            wavs, _ = synth.synthesize([seq], prompts=[style_prompt],
+                                       **kwargs)
+        else:
+            wavs, _ = synth.synthesize(
+                [seq], reference_wavs=[load_wav_24k(reference_wav_path)],
+                **kwargs)
         return 24000, (np.clip(wavs[0], -1, 1) * 32767).astype(np.int16)
 
     try:
         import gradio as gr
 
+        # two conditioning tabs, matching `/root/reference/app.py:102-133`
         with gr.Blocks() as demo:
             gr.Markdown("# PromptTTS++ (TPU)")
-            content = gr.Textbox(label="Content")
-            style = gr.Textbox(label="Style prompt",
-                               value="A man speaks with a low voice slowly.")
-            audio = gr.Audio(label="Synthesized")
-            btn = gr.Button("Synthesize")
-            btn.click(synthesize, [content, style], audio)
+            content = gr.Textbox(label="Content prompt")
+            with gr.Tabs():
+                with gr.TabItem("Style prompt"):
+                    style = gr.Textbox(
+                        label="Style prompt",
+                        value="A man speaks with a low voice slowly.")
+                    btn1 = gr.Button("Synthesize")
+                    audio1 = gr.Audio(label="Output wav", elem_id="prompt")
+                with gr.TabItem("Reference wav"):
+                    ref_wav = gr.Audio(type="filepath",
+                                       label="Reference wav", elem_id="ref")
+                    btn2 = gr.Button("Synthesize")
+                    audio2 = gr.Audio(label="Output wav", elem_id="ref")
+            btn1.click(lambda c, s: synthesize(c, style_prompt=s),
+                       [content, style], audio1)
+            btn2.click(lambda c, p: synthesize(c, reference_wav_path=p),
+                       [content, ref_wav], audio2)
         demo.launch(server_name=cfg.get("host", "0.0.0.0"),
                     server_port=cfg.get("port", 7860))
     except ImportError:
@@ -92,8 +128,11 @@ def main():
 
         print("gradio not installed — CLI mode")
         content = input("content (text or ARPA phonemes): ")
-        style = input("style prompt: ")
-        sr, wav = synthesize(content, style)
+        cond = input("style prompt (or @/path/to/reference.wav): ")
+        if cond.startswith("@"):
+            sr, wav = synthesize(content, reference_wav_path=cond[1:])
+        else:
+            sr, wav = synthesize(content, style_prompt=cond)
         write_wav("demo_out.wav", wav.astype(np.float32) / 32767.0, sr)
         print("wrote demo_out.wav")
 

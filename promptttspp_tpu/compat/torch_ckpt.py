@@ -178,3 +178,64 @@ def convert_tree(
         return jnp.asarray(arr, dtype=jnp.result_type(node))
 
     return rec(flax_tree, ())
+
+
+def torch_state_dict(path, kind: str) -> Dict[str, np.ndarray]:
+    """Load the reference trainer's ``{epoch, model, optimizer, ...}``
+    checkpoint (`/root/reference/promptttspp/trainers/tts.py:245-254`) or
+    the vocoder's ``{generator: ...}`` (`app.py:35-37`) into a plain
+    name->ndarray dict. Requires torch (cpu build is fine)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    key = "model" if kind == "model" else "generator"
+    sd = ckpt[key] if key in ckpt else ckpt
+    return {k: v.numpy() for k, v in sd.items()}
+
+
+def convert_reference_checkpoint(kind: str, state_dict, cfg):
+    """Convert a reference state_dict into our variables dict, building
+    the flax template from ``cfg`` (the composed Hydra-style config).
+
+    kind='model' expects the acoustic-model state_dict; kind='vocoder'
+    the BigVGAN generator. Weight-norm is folded at load, mirroring the
+    reference's ``remove_weight_norm_`` before inference
+    (`/root/reference/egs/proposed/bin/synthesize.py:108,116`)."""
+    import jax
+    import jax.numpy as jnp_  # noqa: F401
+
+    import promptttspp_tpu.models  # noqa: F401
+    from promptttspp_tpu.config import instantiate
+
+    if kind == "model":
+        from promptttspp_tpu.flagship import example_batch, init_flagship
+        from promptttspp_tpu.models.bert import bert_rename_map
+
+        model = instantiate(cfg.model)
+        batch = example_batch(B=1, Tp=16, Tf=64, L=16)
+        variables = init_flagship(model, batch)
+        rename = {"phoneme_embedding.emb": "phoneme_emb.emb"}
+        n_bert = int(cfg.model.prompt_encoder.get("bert_num_layers", 12))
+        for f, t in bert_rename_map(n_bert).items():
+            rename[f"prompt_encoder.bert.{f}"] = \
+                f"prompt_encoder.bert.model.{t}"
+        out = {"params": convert_tree(variables["params"], state_dict,
+                                      rename=rename)}
+        if "batch_stats" in variables:
+            out["batch_stats"] = convert_tree(
+                variables["batch_stats"], state_dict, "batch_stats",
+                rename=rename)
+        else:
+            out["batch_stats"] = {}
+        return out
+
+    import jax.numpy as jnp2
+
+    vocoder = instantiate(cfg.vocoder)
+    mel = jnp2.zeros((1, 64, cfg.vocoder.in_channel))
+    f0 = jnp2.zeros((1, 64, 1))
+    variables = jax.jit(
+        vocoder.init, static_argnames=("deterministic",))(
+        jax.random.PRNGKey(0), mel, f0, deterministic=True)
+    return {"params": convert_tree(variables["params"], state_dict),
+            "batch_stats": {}}

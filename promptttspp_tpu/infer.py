@@ -32,6 +32,7 @@ class Synthesizer:
         vocoder_variables: Optional[Dict] = None,
         mel_stats: Optional[Dict] = None,
         tokenizer=None,
+        to_mel=None,
         phone_quantum: int = 16,
         frame_quantum: int = 128,
         max_frames_cap: int = 2048,
@@ -42,6 +43,7 @@ class Synthesizer:
         self.vocoder_variables = vocoder_variables
         self.mel_stats = mel_stats or {"mean": 0.0, "std": 1.0}
         self.tokenizer = tokenizer
+        self.to_mel = to_mel
         self.phone_quantum = phone_quantum
         self.frame_quantum = frame_quantum
         self.max_frames_cap = max_frames_cap
@@ -58,22 +60,33 @@ class Synthesizer:
             self._voc_fn = jax.jit(
                 lambda vv, mel, f0: vocoder.apply(
                     vv, mel, f0, deterministic=True))
+        self._mel_fn = None
+        if to_mel is not None:
+            self._mel_fn = jax.jit(to_mel.to_mel)
 
     # ---------------------------------------------------------- jit bodies
+    # prompt_ids/reference_mel are mutually exclusive; the absent one is
+    # passed as None (a static empty pytree under jit), so each
+    # conditioning mode gets its own specialization — mirroring the
+    # reference's two model.infer branches
+    # (`/root/reference/egs/proposed/bin/synthesize.py:178-213`).
     def _duration_pass(self, variables, phoneme, phone_lengths, prompt_ids,
-                       prompt_mask, use_max, style_rng):
+                       prompt_mask, reference_mel, ref_lengths, use_max,
+                       style_rng):
         return self.model.apply(
             variables, phoneme, phone_lengths,
             prompt_ids=prompt_ids, prompt_mask=prompt_mask,
+            reference_mel=reference_mel, ref_lengths=ref_lengths,
             use_max=use_max, noise_scale=0.0, style_rng=style_rng,
             method=type(self.model).infer_frame_lengths)
 
     def _infer_pass(self, variables, phoneme, phone_lengths, prompt_ids,
-                    prompt_mask, use_max, noise_scale, style_rng,
-                    diffusion_rng, max_frames):
+                    prompt_mask, reference_mel, ref_lengths, use_max,
+                    noise_scale, style_rng, diffusion_rng, max_frames):
         return self.model.apply(
             variables, phoneme, phone_lengths, max_frames,
             prompt_ids=prompt_ids, prompt_mask=prompt_mask,
+            reference_mel=reference_mel, ref_lengths=ref_lengths,
             use_max=use_max, noise_scale=noise_scale,
             style_rng=style_rng, diffusion_rng=diffusion_rng,
             return_f0=True, method=type(self.model).infer)
@@ -99,23 +112,61 @@ class Synthesizer:
         mask_p[:, : ids.shape[1]] = mask
         return jnp.asarray(ids_p), jnp.asarray(mask_p)
 
+    def _pad_ref_mels(self, mels: Sequence[np.ndarray]):
+        """Normalize raw log-mels with the global stats and pad to a frame
+        bucket (the reference normalizes at the call site,
+        `/root/reference/app.py:67`, `synthesize.py:175`)."""
+        B = len(mels)
+        Tf = bucket_shape(max(m.shape[0] for m in mels), self.frame_quantum)
+        C = mels[0].shape[1]
+        out = np.zeros((B, Tf, C), np.float32)
+        lens = np.zeros((B,), np.int32)
+        mean, std = self.mel_stats["mean"], self.mel_stats["std"]
+        for i, m in enumerate(mels):
+            out[i, : m.shape[0]] = (np.asarray(m, np.float32) - mean) / std
+            lens[i] = m.shape[0]
+        return jnp.asarray(out), jnp.asarray(lens)
+
+    def wav_to_mel(self, wav: np.ndarray) -> np.ndarray:
+        """24 kHz wav [Ts] -> raw log-mel [T, 80] (reference wav->mel on
+        the fly, `/root/reference/egs/proposed/bin/synthesize.py:172-174`)."""
+        assert self.to_mel is not None, "to_mel transform required for wavs"
+        return np.asarray(self._mel_fn(jnp.asarray(wav, jnp.float32)))
+
     # ---------------------------------------------------------------- API
     def synthesize(
         self,
         phoneme_seqs: Sequence[Sequence[int]],
         prompts: Optional[Sequence[str]] = None,
+        reference_mels: Optional[Sequence[np.ndarray]] = None,
+        reference_wavs: Optional[Sequence[np.ndarray]] = None,
         use_max: bool = True,
         noise_scale: float = 0.5,
         seed: int = 0,
     ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
-        """Returns (list of wav float arrays, list of mel [T,80] arrays)."""
+        """Synthesize with EXACTLY ONE of style-prompt strings,
+        raw log-mel references [T,80], or 24 kHz reference wavs.
+        Returns (list of wav float arrays, list of mel [T,80] arrays)."""
+        n_cond = sum(x is not None
+                     for x in (prompts, reference_mels, reference_wavs))
+        assert n_cond == 1, (
+            "exactly one of prompts / reference_mels / reference_wavs")
+        if reference_wavs is not None:
+            reference_mels = [self.wav_to_mel(w) for w in reference_wavs]
+
         phoneme, plens = self._pad_phonemes(phoneme_seqs)
-        prompt_ids, prompt_mask = self._encode_prompts(prompts)
+        if prompts is not None:
+            prompt_ids, prompt_mask = self._encode_prompts(prompts)
+            ref_mel, ref_lens = None, None
+        else:
+            prompt_ids, prompt_mask = None, None
+            ref_mel, ref_lens = self._pad_ref_mels(reference_mels)
         style_rng = jax.random.PRNGKey(seed)
         diffusion_rng = jax.random.PRNGKey(seed + 1)
 
         frame_lens = self._dur_fn(self.variables, phoneme, plens, prompt_ids,
-                                  prompt_mask, use_max, style_rng)
+                                  prompt_mask, ref_mel, ref_lens, use_max,
+                                  style_rng)
         max_frames = min(
             bucket_shape(int(np.max(np.asarray(frame_lens))),
                          self.frame_quantum),
@@ -123,8 +174,8 @@ class Synthesizer:
 
         mel, flens, log_cf0, vuv = self._infer_fn(
             self.variables, phoneme, plens, prompt_ids, prompt_mask,
-            use_max, noise_scale, style_rng, diffusion_rng,
-            max_frames=max_frames)
+            ref_mel, ref_lens, use_max, noise_scale, style_rng,
+            diffusion_rng, max_frames=max_frames)
 
         # f0 smoothing + gating (`app.py:76-79`)
         log_cf0 = lowpass_filter(log_cf0[..., 0], fs=100, cutoff=20)

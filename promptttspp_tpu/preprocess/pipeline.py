@@ -180,6 +180,9 @@ def preprocess_corpus(
         yaml.safe_dump(
             dict(min=float(mel_min), max=float(mel_max), mean=float(mean),
                  std=float(np.sqrt(max(var, 0.0))), var=float(var)), f)
+    # mels + stats are complete here, so the standalone compute_mel stage
+    # (kept for reference stage-list parity) becomes an idempotent no-op
+    (mel_dir / "finish").write_text("done\n")
 
     out = pd.DataFrame(rows)
     df_dir.mkdir(parents=True, exist_ok=True)

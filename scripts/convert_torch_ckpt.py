@@ -10,6 +10,10 @@ Model checkpoints are the reference trainer's
 (`/root/reference/promptttspp/trainers/tts.py:245-254`); vocoder
 checkpoints carry the generator under ``generator`` (`app.py:35-37`).
 Weight-norm is folded; optimizer state is NOT converted (warm-start only).
+
+Note: `egs/proposed/bin/synthesize.py` and `app.py` also accept torch
+``.ckpt`` files directly (auto-converted in memory); this script exists to
+persist the conversion once for repeated runs.
 """
 
 import sys
@@ -21,55 +25,18 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def torch_state_dict(path, kind):
-    import torch
-
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    key = "model" if kind == "model" else "generator"
-    sd = ckpt[key] if key in ckpt else ckpt
-    return {k: v.numpy() for k, v in sd.items()}
-
-
 def main():
     kind, in_path, out_dir = sys.argv[1], sys.argv[2], Path(sys.argv[3])
 
-    import jax
     import orbax.checkpoint as ocp
 
-    import promptttspp_tpu.models  # noqa: F401
-    from promptttspp_tpu.compat.torch_ckpt import convert_tree
-    from promptttspp_tpu.config import compose, instantiate
-    from promptttspp_tpu.flagship import example_batch, init_flagship
+    from promptttspp_tpu.compat.torch_ckpt import (
+        convert_reference_checkpoint, torch_state_dict)
+    from promptttspp_tpu.config import compose
 
-    sd = torch_state_dict(in_path, kind)
-
-    if kind == "model":
-        cfg = compose(REPO / "conf", "train")
-        model = instantiate(cfg.model)
-        batch = example_batch(B=1, Tp=16, Tf=64, L=16)
-        variables = init_flagship(model, batch)
-        rename = {"phoneme_embedding.emb": "phoneme_emb.emb"}
-        # the reference's BERT lives under prompt_encoder.bert.model.*
-        from promptttspp_tpu.models.bert import bert_rename_map
-
-        for f, t in bert_rename_map(12).items():
-            rename[f"prompt_encoder.bert.{f}"] = \
-                f"prompt_encoder.bert.model.{t}"
-        converted = {"params": convert_tree(variables["params"], sd,
-                                            rename=rename)}
-        if "batch_stats" in variables:
-            converted["batch_stats"] = convert_tree(
-                variables["batch_stats"], sd, "batch_stats", rename=rename)
-    else:
-        cfg = compose(REPO / "conf", "synthesize")
-        vocoder = instantiate(cfg.vocoder)
-        import jax.numpy as jnp
-
-        mel = jnp.zeros((1, 64, cfg.vocoder.in_channel))
-        f0 = jnp.zeros((1, 64, 1))
-        variables = vocoder.init(jax.random.PRNGKey(0), mel, f0,
-                                 deterministic=True)
-        converted = {"params": convert_tree(variables["params"], sd)}
+    cfg = compose(REPO / "conf", "train" if kind == "model" else "synthesize")
+    converted = convert_reference_checkpoint(
+        kind, torch_state_dict(in_path, kind), cfg)
 
     tree = {"epoch": 0, "step": np.int32(0), "params": converted["params"],
             "batch_stats": converted.get("batch_stats", {}),

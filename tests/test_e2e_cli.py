@@ -141,40 +141,44 @@ def test_full_cli_workflow(corpus, tmp_path_factory):
     assert len(csv) == 3
     assert (out / "ckpt/last").exists()
 
-    # 4. vocoder ckpt (random init, tiny) + synthesize
+    # 4. vocoder ckpt: a REAL torch reference checkpoint (weight-normed),
+    # auto-converted by synthesize.py's load_variables — then synthesize
+    # with BOTH conditioning modes (ref + prompt trees)
     voc_dir = tmp_path_factory.mktemp("voc")
     voc_ov = ["vocoder.upsample_initial_channel=32",
               "vocoder.harmonic_num=3",
               "vocoder.resblock_kernel_sizes=[3]",
               "vocoder.resblock_dilations=[[1,3]]"]
-    _make_vocoder_ckpt(voc_dir / "ckpt", voc_ov)
+    _make_torch_vocoder_ckpt(voc_dir / "vocoder.ckpt")
     synth_out = tmp_path_factory.mktemp("synth")
     run_cli("egs/proposed/bin/synthesize.py", root_ov,
             f"output_dir={synth_out}",
             f"model_ckpt={out / 'ckpt/last'}",
-            f"vocoder_ckpt={voc_dir / 'ckpt'}",
+            f"vocoder_ckpt={voc_dir / 'vocoder.ckpt'}",
             *TINY_MODEL_OVERRIDES, *voc_ov, "num_eval_utts=1")
-    wavs = list((synth_out / "prompt").glob("*.wav"))
-    assert len(wavs) == 1
     from scipy.io import wavfile
 
-    sr, data = wavfile.read(wavs[0])
-    assert sr == 24000 and len(data) > 24000 // 2
+    for mode in ("ref", "prompt"):
+        wavs = list(synth_out.glob(f"*/{mode}/wav/*.wav"))
+        assert len(wavs) == 1, f"missing {mode} tree"
+        sr, data = wavfile.read(wavs[0])
+        assert sr == 24000 and len(data) > 24000 // 2
+    assert (synth_out / "finish").exists()
 
 
-def _make_vocoder_ckpt(path, overrides):
-    import jax
-    import jax.numpy as jnp
-    import orbax.checkpoint as ocp
+def _make_torch_vocoder_ckpt(path):
+    """Tiny reference F0AwareBigVGAN, saved the way the reference publishes
+    vocoder checkpoints ({'generator': state_dict}, app.py:35-37)."""
+    import torch
 
-    import promptttspp_tpu.models  # noqa: F401
-    from promptttspp_tpu.config import compose, instantiate
+    if "/root/reference" not in sys.path:
+        sys.path.append("/root/reference")
+    from promptttspp.vocoders.bigvgan_f0 import F0AwareBigVGAN
 
-    cfg = compose(REPO / "conf", "synthesize", overrides=overrides)
-    voc = instantiate(cfg.vocoder)
-    v = jax.jit(voc.init, static_argnames=("deterministic",))(
-        jax.random.PRNGKey(0), jnp.zeros((1, 64, 80)), jnp.zeros((1, 64, 1)),
-        deterministic=True)
-    tree = {"epoch": 0, "step": np.int32(0), "params": v["params"],
-            "batch_stats": {}, "opt_state": {}}
-    ocp.PyTreeCheckpointer().save(Path(path).absolute(), tree, force=True)
+    torch.manual_seed(0)
+    voc = F0AwareBigVGAN(
+        sampling_rate=24000, harmonic_num=3, in_channel=80,
+        upsample_initial_channel=32, upsample_rates=[6, 5, 4, 2],
+        upsample_kernel_sizes=[12, 10, 8, 4], resblock_kernel_sizes=[3],
+        resblock_dilations=[[1, 3]])
+    torch.save({"generator": voc.state_dict()}, path)
