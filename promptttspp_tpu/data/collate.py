@@ -27,12 +27,20 @@ class PromptTTSCollator:
         self.prompt_quantum = prompt_quantum
         self.mel_dim = mel_dim
 
-    def __call__(self, items: List[Dict]) -> Dict:
+    def __call__(self, items: List[Dict], t_phones: Optional[int] = None,
+                 t_frames: Optional[int] = None,
+                 prompt_pad_to: Optional[int] = None) -> Dict:
+        """t_phones/t_frames/prompt_pad_to force the padded shapes —
+        multi-host loading passes GLOBAL buckets so every host's local
+        slice pads to the same shape (parallel/distributed.py
+        host_batches). Prompt lengths aren't knowable from metadata
+        (prompts are sampled per host), so multi-host runs use a fixed
+        prompt_pad_to."""
         B = len(items)
         plens = np.asarray([len(it["phonemes"]) for it in items], np.int32)
         flens = np.asarray([it["mel"].shape[0] for it in items], np.int32)
-        Tp = bucket_shape(int(plens.max()), self.phone_quantum)
-        Tf = bucket_shape(int(flens.max()), self.frame_quantum)
+        Tp = t_phones or bucket_shape(int(plens.max()), self.phone_quantum)
+        Tf = t_frames or bucket_shape(int(flens.max()), self.frame_quantum)
         mel_dim = self.mel_dim or items[0]["mel"].shape[1]
 
         phoneme = np.zeros((B, Tp), np.int32)
@@ -59,8 +67,10 @@ class PromptTTSCollator:
             prompts=[it["prompt"] for it in items],
         )
         if self.tokenizer is not None:
-            raw_ids, raw_mask = self.tokenizer.batch_encode(batch["prompts"])
-            L = bucket_shape(raw_ids.shape[1], self.prompt_quantum)
+            raw_ids, raw_mask = self.tokenizer.batch_encode(
+                batch["prompts"], max_length=prompt_pad_to)
+            L = prompt_pad_to or bucket_shape(raw_ids.shape[1],
+                                              self.prompt_quantum)
             ids = np.full((B, L), self.tokenizer.pad_id, np.int32)
             mask = np.zeros((B, L), np.int32)
             ids[:, : raw_ids.shape[1]] = raw_ids

@@ -81,6 +81,11 @@ class AllWithSpkPromptNormDataset:
     def num_tokens(self, index: int) -> int:
         return self.lengths[index]
 
+    def num_phones(self, index: int) -> int:
+        """Phone count from CSV metadata (no npy IO) — multi-host
+        loading uses this for global shape buckets."""
+        return self.data[index][-2].count(" ") + 1
+
     def ordered_indices(self) -> np.ndarray:
         """Length-sorted (stable) indices (`:251-257`)."""
         indices = np.arange(len(self))
@@ -111,19 +116,35 @@ class AllWithSpkPromptNormDataset:
             energy[:, None].astype(np.float32),
         )
 
-    def __getitem__(self, idx: int):
+    # -- async-pipeline split (data/prefetch.py): item_meta draws from the
+    # shared prompt RNG and must be called in sampler order on one thread;
+    # load_item_features is pure/thread-safe and does the heavy IO.
+    def item_meta(self, idx: int) -> Dict:
         (spk_id, utt_id, gender, pitch, speaking_speed, energy_tag,
          style_prompt_key, seq, durations) = self.data[idx]
         prompt = build_prompt(
             style_prompt_key, spk_id, pitch, speaking_speed, energy_tag,
             self.prompt_candidate, self.spk_prompt_candidate, self.rng,
             use_spk_prompt=self.use_spk_prompt, p_augment=self.p_augment)
-        phonemes, dur, mel, log_cf0, vuv, energy = self._load_features(
-            spk_id, utt_id, seq, durations)
         return dict(
-            spk_id=spk_id, utt_id=utt_id, phonemes=phonemes, duration=dur,
-            mel=mel, log_cf0=log_cf0, vuv=vuv, energy=energy, prompt=prompt,
+            spk_id=spk_id, utt_id=utt_id, seq=seq, durations=durations,
+            prompt=prompt, n_frames=self.lengths[idx],
+            mel_path=str(self.mel_dir / f"{spk_id}/{utt_id}.npy"),
+            cf0_path=str(self.feats_dir / f"{spk_id}/cf0/{utt_id}.npy"),
+            vuv_path=str(self.feats_dir / f"{spk_id}/vuv/{utt_id}.npy"),
         )
+
+    def load_item_features(self, meta: Dict) -> Dict:
+        phonemes, dur, mel, log_cf0, vuv, energy = self._load_features(
+            meta["spk_id"], meta["utt_id"], meta["seq"], meta["durations"])
+        return dict(
+            spk_id=meta["spk_id"], utt_id=meta["utt_id"], phonemes=phonemes,
+            duration=dur, mel=mel, log_cf0=log_cf0, vuv=vuv, energy=energy,
+            prompt=meta["prompt"],
+        )
+
+    def __getitem__(self, idx: int):
+        return self.load_item_features(self.item_meta(idx))
 
 
 class PromptTTSDataset:

@@ -89,10 +89,19 @@ class PromptTTSMDNDurCFG(nn.Module):
         prompt_ids = batch["prompt_ids"]      # [B, L]
         prompt_mask = batch["prompt_mask"]    # [B, L]
 
+        # Per-row loss weights (0 for rows appended by
+        # ``pad_batch_to_multiple`` so device-count padding cannot
+        # contaminate any masked reduction; the reference instead never
+        # pads — it drops non-divisible batches, `tts.py:138-142`).
+        w = batch.get("batch_weight")
+        if w is None:
+            w = jnp.ones((phoneme.shape[0],), jnp.float32)
+        w_b11 = w[:, None, None].astype(jnp.float32)
+
         x, phone_mask = self._encode_phones(phoneme, phone_lengths, train)
         Tf = mel.shape[1]
         frame_mask = sequence_mask(frame_lengths, Tf)
-        fmask = frame_mask[:, :, None].astype(jnp.float32)
+        fmask = frame_mask[:, :, None].astype(jnp.float32) * w_b11
 
         style_emb = self.reference_encoder(mel, frame_lengths, train=train)
         prompt_emb = self.prompt_encoder(prompt_ids, prompt_mask, train=train)
@@ -123,17 +132,24 @@ class PromptTTSMDNDurCFG(nn.Module):
         log_duration = to_log_scale(duration.astype(jnp.float32))[:, :, None]
         pmask_btc = phone_mask[:, :, None]
         dur_nll = mdn_loss(*mdn_out, log_duration, reduce=False, mask=pmask_btc)
-        loss_dur = jnp.sum(jnp.where(pmask_btc, dur_nll, 0.0)) / jnp.sum(pmask_btc)
+        pweight = pmask_btc.astype(jnp.float32) * w_b11
+        loss_dur = (jnp.sum(jnp.where(pmask_btc, dur_nll, 0.0) * pweight)
+                    / jnp.sum(pweight))
 
         loss_cf0 = jnp.sum(jnp.abs(log_cf0_pred - log_cf0) * fmask) / n_frames
         loss_vuv = jnp.sum(jnp.abs(vuv_pred - vuv) * fmask) / n_frames
 
+        n_rows = jnp.sum(w)
         if self.style_mdn is not None:
             target = jax.lax.stop_gradient(style_emb).astype(style_mdn_out[0].dtype)
-            loss_style = jnp.mean(mdn_loss(*style_mdn_out, target))
+            style_nll = mdn_loss(*style_mdn_out, target)  # [B] or [B,D] dim-wise
+            w_rows = w.reshape((-1,) + (1,) * (style_nll.ndim - 1))
+            denom = n_rows * (style_nll.size // style_nll.shape[0])
+            loss_style = jnp.sum(style_nll * w_rows.astype(style_nll.dtype)) / denom
         else:
-            loss_style = jnp.mean(
-                jnp.square(jax.lax.stop_gradient(style_emb) - prompt_emb))
+            sq = jnp.square(jax.lax.stop_gradient(style_emb) - prompt_emb)
+            loss_style = (jnp.sum(sq * w_b11)
+                          / (n_rows * sq.shape[1] * sq.shape[2]))
 
         loss = loss_dec + loss_dur + loss_cf0 + loss_vuv + loss_style
         losses = dict(dec=loss_dec, dur=loss_dur, cf0=loss_cf0, vuv=loss_vuv,

@@ -44,10 +44,19 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
-    """device_put array leaves with data sharding; pass through the rest
+    """Place array leaves with data sharding; pass through the rest
     (strings/lists stay on host). The global batch size must be divisible
     by the data-axis size — the collator/batcher guarantees it via
-    ``required_batch_size_multiple``."""
+    ``required_batch_size_multiple``.
+
+    Single-process: a plain sharded device_put of the host-global array.
+    Multi-process (real pods): the input is this host's contiguous row
+    block (parallel/distributed.py process_slice) and the global array
+    is assembled with ``jax.make_array_from_process_local_data``."""
+    if jax.process_count() > 1:
+        from promptttspp_tpu.parallel.distributed import make_global_batch
+
+        return make_global_batch(batch, mesh)
     sharding = batch_sharding(mesh)
     out = {}
     for k, v in batch.items():
@@ -59,12 +68,21 @@ def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
 
 
 def pad_batch_to_multiple(batch: Dict, multiple: int) -> Dict:
-    """Repeat-pad the batch's leading axis to a device-count multiple and
-    zero out the padded items' lengths so they contribute nothing."""
+    """Pad the batch's leading axis to a device-count multiple.
+
+    Padded rows keep 1-frame/1-phone lengths so every mask stays valid
+    (an all-invalid row would put -inf rows into the MDN logsumexp and
+    NaN the cotangents), and a ``batch_weight`` row mask (1 real / 0 pad)
+    is emitted so the model's loss reductions drop them exactly — the
+    loss is invariant to padding (tests/test_padding.py). The weight key
+    is always present so the jitted step keeps one signature."""
     b = len(batch["phone_lengths"])
     pad = (-b) % multiple
+    weight = batch.get("batch_weight", np.ones((b,), np.float32))
     if pad == 0:
-        return batch
+        out = dict(batch)
+        out["batch_weight"] = weight
+        return out
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == b:
@@ -75,4 +93,6 @@ def pad_batch_to_multiple(batch: Dict, multiple: int) -> Dict:
     # padded rows: keep 1-frame/1-phone lengths so masks stay valid
     out["phone_lengths"][b:] = 1
     out["frame_lengths"][b:] = 1
+    out["batch_weight"] = np.concatenate(
+        [weight, np.zeros((pad,), np.float32)])
     return out

@@ -18,10 +18,21 @@ from typing import Tuple
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-# parent module names whose matmul expands the hidden dim (column-parallel)
-_COLUMN = {"w_1", "intermediate_dense", "mlp_0", "adaptor_0"}
-# ... and whose matmul contracts back (row-parallel)
-_ROW = {"w_2", "output_dense", "mlp_2"}
+# parent module names whose matmul expands the hidden dim (column-parallel):
+# conformer/BERT FFN expansions, prompt-encoder MLP, attention q/k/v (+
+# rel-pos projection — shards the head axis), DiffNet gate/filter convs
+_COLUMN = {
+    "w_1", "intermediate_dense", "mlp_0", "adaptor_0",
+    "linear_q", "linear_k", "linear_v", "linear_pos",
+    "query", "key", "value",
+    "dilated_conv", "conditioner_projection",
+}
+# ... and whose matmul contracts back (row-parallel): FFN contractions,
+# attention output projections
+_ROW = {"w_2", "output_dense", "mlp_2", "linear_out",
+        "attention_output_dense"}
+# per-head rel-pos biases [n_head, d_k]: follow the q/k/v head sharding
+_HEAD = {"pos_bias_u", "pos_bias_v"}
 
 
 def param_partition_spec(path: Tuple[str, ...], leaf) -> P:
@@ -32,12 +43,21 @@ def param_partition_spec(path: Tuple[str, ...], leaf) -> P:
     parent = path[-2] if len(path) > 1 else ""
     ndim = getattr(leaf, "ndim", 0)
 
+    if name in _HEAD and ndim == 2:
+        return P("model", None)
     if name == "kernel":
         if parent in _COLUMN:
             # Dense [in, out] / Conv [k, in, out]: shard output features
             return P(*([None] * (ndim - 1) + ["model"]))
         if parent in _ROW:
             # shard input (contraction) features
+            return P(*([None] * (ndim - 2) + ["model", None]))
+        if parent == "output_projection" and any(
+                p.startswith("residual_layers") for p in path):
+            # DiffNet ResidualBlock out-proj: input is the gated (sharded)
+            # half — row-parallel; the top-level DiffNet output_projection
+            # (same module name, no residual_layers in path) stays
+            # replicated
             return P(*([None] * (ndim - 2) + ["model", None]))
     if name == "bias" and parent in _COLUMN and ndim == 1:
         return P("model")

@@ -26,6 +26,9 @@ import numpy as np
 from promptttspp_tpu.config import Config, instantiate
 from promptttspp_tpu.data.batching import ShuffleBatchSampler, batch_by_size
 from promptttspp_tpu.data.collate import PromptTTSCollator
+from promptttspp_tpu.data.prefetch import prefetch_batches
+from promptttspp_tpu.parallel.distributed import (
+    host_batches, init_distributed, replicate_global)
 from promptttspp_tpu.parallel.mesh import (
     make_mesh, pad_batch_to_multiple, shard_batch)
 from promptttspp_tpu.train import checkpoint as ckpt_lib
@@ -36,7 +39,7 @@ from promptttspp_tpu.train.tracker import Tracker
 
 MODEL_BATCH_KEYS = (
     "phoneme", "duration", "phone_lengths", "mel", "log_cf0", "vuv",
-    "energy", "frame_lengths", "prompt_ids", "prompt_mask",
+    "energy", "frame_lengths", "prompt_ids", "prompt_mask", "batch_weight",
 )
 
 
@@ -66,6 +69,7 @@ class TTSTrainer:
         self.output_dir = Path(cfg.get("output_dir", "./out"))
         self.log_dir = self.output_dir / "logs"
         self.ckpt_dir = self.output_dir / "ckpt"
+        self.is_main = True  # refined by run() after init_distributed
 
     # ------------------------------------------------------------- setup
     def _build_model(self):
@@ -82,12 +86,17 @@ class TTSTrainer:
             self.valid_ds = instantiate(self.cfg.dataset.valid)
 
     def _setup_logging(self):
+        # rank-0-only observability, like the reference (`tts.py:61-79`)
+        logger = logging.getLogger("promptttspp_tpu.train")
+        logger.setLevel(logging.INFO)
+        if not self.is_main:
+            self.logger = logger
+            self.writer = None
+            return
         self.output_dir.mkdir(parents=True, exist_ok=True)
         self.log_dir.mkdir(parents=True, exist_ok=True)
         self.ckpt_dir.mkdir(parents=True, exist_ok=True)
         (self.output_dir / "config.yaml").write_text(self.cfg.to_yaml())
-        logger = logging.getLogger("promptttspp_tpu.train")
-        logger.setLevel(logging.INFO)
         if not logger.handlers:
             fh = logging.FileHandler(self.log_dir / "train.log")
             fh.setFormatter(logging.Formatter(
@@ -126,10 +135,19 @@ class TTSTrainer:
         cfg = self.cfg
         seed = cfg.select("train.seed", 42)
         seed_everything(seed)
+        # multi-host: jax.distributed.initialize when configured (env or
+        # train.distributed.*); no-op in single-process runs (SURVEY §5.8)
+        init_distributed(
+            coordinator_address=cfg.select(
+                "train.distributed.coordinator_address"),
+            num_processes=cfg.select("train.distributed.num_processes"),
+            process_id=cfg.select("train.distributed.process_id"),
+        )
+        self.is_main = jax.process_index() == 0
         self._setup_logging()
         self._build_datasets()
 
-        mesh = make_mesh()
+        mesh = make_mesh(model=cfg.select("train.mesh.model", 1))
         n_data = mesh.shape["data"]
         model = self._build_model()
 
@@ -165,6 +183,18 @@ class TTSTrainer:
         else:
             tx = tmp_tx
 
+        if jax.process_count() > 1:
+            # PRNG init is host-deterministic, so every host holds the
+            # same values; lift them to global replicated arrays on the
+            # multi-host mesh so the jitted step sees one logical state.
+            assert mesh.shape["model"] == 1, (
+                "tensor parallelism is single-host for now")
+            state = replicate_global(state, mesh)
+        elif mesh.shape["model"] > 1:
+            from promptttspp_tpu.parallel.tp import shard_state
+
+            state = shard_state(state, mesh)
+
         n_params = sum(x.size for x in jax.tree.leaves(state.params))
         self.logger.info(f"number of trainable params: {n_params / 1e6:.3f} M")
 
@@ -187,7 +217,8 @@ class TTSTrainer:
 
         num_epochs = num_epochs or cfg.select("train.num_epochs", 1000)
         save_interval = cfg.select("train.save_interval", 20)
-        tracker = Tracker(str(self.log_dir / "loss.csv"))
+        tracker = Tracker(str(self.log_dir / "loss.csv")
+                          if self.is_main else None)
         global_step = int(state.step)
 
         # profiling hooks (SURVEY.md §5.1: the reference has none; we
@@ -217,23 +248,59 @@ class TTSTrainer:
             raise
         return state
 
+    def _sync_batches(self, sampler, collator, mesh, n_data, ds=None):
+        """Synchronous fallback (train.prefetch=false): assemble each
+        batch inline, exactly the reference's no-worker DataLoader.
+        Sampler entries may be (indices, collate_kwargs) tuples from
+        host_batches."""
+        ds = ds if ds is not None else self.train_ds
+        for entry in sampler:
+            if isinstance(entry, tuple):
+                idx_batch, kwargs = entry
+            else:
+                idx_batch, kwargs = entry, {}
+            batch = collator([ds[i] for i in idx_batch], **kwargs)
+            batch = pad_batch_to_multiple(batch, n_data)
+            yield batch, shard_batch(model_batch(batch), mesh)
+
     def _train_loop(self, state, sampler, collator, mesh, n_data,
                     train_step, eval_step, step_rng, start_epoch,
                     num_epochs, save_interval, tracker, global_step,
                     profile_steps, profile_dir):
         cfg = self.cfg
         seed = cfg.select("train.seed", 42)
+        # async input pipeline (replaces the reference's 8-worker
+        # DataLoader + pin_memory, `tts.py:144-150`): batch assembly +
+        # device_put run ahead of the jitted step on a thread pool.
+        prefetch = cfg.select("train.prefetch", True)
+        num_workers = cfg.select("train.num_workers", 8)
+        prefetch_depth = cfg.select("train.prefetch_depth", 3)
+        n_proc = jax.process_count()
+        local_pad = n_data // n_proc  # rows this host pads to
         with mesh:
             for epoch in range(start_epoch, num_epochs + 1):
                 tracker.reset()
                 t0 = time.time()
                 n_frames = 0
-                for idx_batch in sampler:
-                    items = [self.train_ds[i] for i in idx_batch]
-                    batch = collator(items)
-                    batch = pad_batch_to_multiple(batch, n_data)
+                if n_proc > 1:
+                    # per-host row blocks with global shape buckets
+                    epoch_sampler = host_batches(
+                        sampler, self.train_ds, collator,
+                        prompt_pad_to=cfg.select("train.prompt_pad_to", 64))
+                else:
+                    epoch_sampler = sampler
+                if prefetch:
+                    loader = prefetch_batches(
+                        self.train_ds, epoch_sampler, collator,
+                        pad_multiple=local_pad, mesh=mesh,
+                        model_keys=MODEL_BATCH_KEYS,
+                        num_workers=num_workers,
+                        prefetch_depth=prefetch_depth)
+                else:
+                    loader = self._sync_batches(epoch_sampler, collator,
+                                                mesh, local_pad)
+                for batch, sharded in loader:
                     n_frames += int(np.sum(batch["frame_lengths"]))
-                    sharded = shard_batch(model_batch(batch), mesh)
                     if profile_steps and global_step == profile_steps:
                         jax.profiler.start_trace(profile_dir)
                     state, metrics = train_step(state, sharded, step_rng)
@@ -263,22 +330,27 @@ class TTSTrainer:
                     vtracker = Tracker()
                     vsampler = self._batches(self.valid_ds, False, seed,
                                              n_data)
-                    for idx_batch in vsampler:
-                        items = [self.valid_ds[i] for i in idx_batch]
-                        batch = pad_batch_to_multiple(
-                            collator(items), n_data)
-                        sharded = shard_batch(model_batch(batch), mesh)
+                    if n_proc > 1:
+                        vsampler = host_batches(
+                            vsampler, self.valid_ds, collator,
+                            prompt_pad_to=cfg.select(
+                                "train.prompt_pad_to", 64))
+                    for batch, sharded in self._sync_batches(
+                            vsampler, collator, mesh, local_pad,
+                            ds=self.valid_ds):
                         out = eval_step(state, sharded, step_rng)
-                        vtracker.update(
-                            {k: float(v) for k, v in out.items()})
+                        vals = {k: float(v) for k, v in out.items()}
+                        vtracker.update(vals)
+                        # per-batch valid scalars at the global step,
+                        # matching the reference (`tts.py:236-238`)
+                        if self.writer is not None:
+                            for k, v in vals.items():
+                                self.writer.add_scalar(f"valid/{k}", v,
+                                                       global_step)
                     vavgs = vtracker.averages()
                     self.logger.info(
                         f"epoch {epoch} valid: " +
                         ", ".join(f"{k}={v:.4f}" for k, v in vavgs.items()))
-                    if self.writer is not None:
-                        for k, v in vavgs.items():
-                            self.writer.add_scalar(f"valid/{k}", v,
-                                                   global_step)
 
                 ckpt_lib.save_checkpoint(self.ckpt_dir / "last", state, epoch)
                 if epoch % save_interval == 0:

@@ -1,0 +1,77 @@
+"""Multi-host distribution integration test (SURVEY.md §5.8).
+
+Spawns a REAL 2-process jax.distributed cluster (2 local CPU devices per
+process, 4 global) running the full TTSTrainer — jax.distributed
+.initialize plumbing, per-host batch loading with global shape buckets
+(parallel/distributed.py host_batches), global-array assembly via
+jax.make_array_from_process_local_data, Gloo collectives, rank-0-only
+logging, and the collective orbax checkpoint — then compares against the
+identical single-process 4-device run. Replaces the reference's
+mp.spawn+DDP capability (`trainers/tts.py:41-54,138-142`).
+"""
+
+import json
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+WORKER = REPO / "tests" / "multihost_worker.py"
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _run_worker(mode, pid, nproc, port, outdir):
+    return subprocess.Popen(
+        [sys.executable, str(WORKER), mode, str(pid), str(nproc),
+         str(port), str(outdir)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single(tmp_path):
+    port = _free_port()
+    procs = [_run_worker("multi", p, 2, port, tmp_path) for p in range(2)]
+    outs = [p.communicate(timeout=560)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"multi worker failed:\n{out[-3000:]}"
+
+    single = _run_worker("single", 0, 1, 0, tmp_path)
+    out_s = single.communicate(timeout=560)[0]
+    assert single.returncode == 0, f"single worker failed:\n{out_s[-3000:]}"
+
+    r0 = json.loads((tmp_path / "result-multi-0.json").read_text())
+    r1 = json.loads((tmp_path / "result-multi-1.json").read_text())
+    rs = json.loads((tmp_path / "result-single-0.json").read_text())
+
+    assert r0["process_count"] == 2 and r0["global_devices"] == 4
+    assert rs["process_count"] == 1 and rs["global_devices"] == 4
+    assert r0["step"] == r1["step"] == rs["step"] > 0
+
+    # both hosts hold the identical replicated params
+    assert r0["checksum"] == pytest.approx(r1["checksum"], rel=1e-12)
+    # 2-process run numerically equals the single-process run
+    assert r0["checksum"] == pytest.approx(rs["checksum"], rel=1e-6)
+
+    # rank-0-only observability: process 0 wrote logs, process 1 didn't
+    log = tmp_path / "multi" / "logs" / "train.log"
+    assert log.exists()
+    csv = (tmp_path / "multi" / "logs" / "loss.csv").read_text()
+    assert len(csv.strip().splitlines()) == 3  # header + 2 epochs
+    losses_multi = [float(line.split(",")[1])
+                    for line in csv.strip().splitlines()[1:]]
+    csv_s = (tmp_path / "single" / "logs" / "loss.csv").read_text()
+    losses_single = [float(line.split(",")[1])
+                     for line in csv_s.strip().splitlines()[1:]]
+    np.testing.assert_allclose(losses_multi, losses_single, rtol=1e-4)
+
+    # collective orbax checkpoint landed
+    assert (tmp_path / "multi" / "ckpt" / "last").exists()

@@ -1,0 +1,132 @@
+"""Loss-exactness of device-count batch padding.
+
+The reference never pads: it drops batches whose size isn't divisible by
+the world size (`/root/reference/promptttspp/trainers/tts.py:138-142`).
+Our trainer does the same for dynamic batches, but the degenerate
+small-corpus fallback (and fixed-size batching) can produce non-divisible
+batches, which ``pad_batch_to_multiple`` pads. These tests pin the
+contract: padded rows carry ``batch_weight == 0`` and contribute exactly
+nothing to any loss reduction.
+
+Exactness is asserted in eval mode (BatchNorm running stats, no dropout)
+with explicit diffusion t/noise; in train mode the padded rows still
+enter BatchNorm batch statistics (as they would any unmasked row-count
+dependent op), so there we assert finiteness and zero-gradient flow from
+the padded rows' feature values.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from promptttspp_tpu.data.collate import PromptTTSCollator
+from promptttspp_tpu.parallel.mesh import pad_batch_to_multiple
+
+from test_train import MEL, SyntheticDataset, TokenHashTokenizer, tiny_model
+
+
+def _batch(n_items, seed=0, multiple=None):
+    ds = SyntheticDataset(n_items, seed)
+    batch = PromptTTSCollator(tokenizer=TokenHashTokenizer())(
+        [ds[i] for i in range(n_items)])
+    if multiple is not None:
+        batch = pad_batch_to_multiple(batch, multiple)
+    return batch
+
+
+def _with_fixed_diffusion(batch, seed=0):
+    rng = np.random.RandomState(seed)
+    B, Tf = batch["mel"].shape[:2]
+    out = dict(batch)
+    out["diffusion_t"] = rng.randint(0, 10, size=(B,)).astype(np.int32)
+    out["diffusion_noise"] = rng.randn(B, Tf, MEL).astype(np.float32)
+    return out
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = tiny_model()
+    batch = _with_fixed_diffusion(_batch(3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(1),
+         "diffusion": jax.random.PRNGKey(2),
+         "style": jax.random.PRNGKey(3)},
+        batch, train=True)
+    return model, variables
+
+
+def _eval_losses(model, variables, batch):
+    out = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {})},
+        batch, train=False)
+    return {k: float(v) for k, v in out.items()}
+
+
+def test_eval_loss_invariant_to_padding(model_and_vars):
+    """Every loss term is bit-for-bit padding-invariant in eval mode."""
+    model, variables = model_and_vars
+    base = _with_fixed_diffusion(_batch(3))
+    padded = pad_batch_to_multiple(base, 8)
+    assert padded["mel"].shape[0] == 8
+    assert padded["batch_weight"].tolist() == [1, 1, 1, 0, 0, 0, 0, 0]
+
+    ref = _eval_losses(model, variables, base)
+    got = _eval_losses(model, variables, padded)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=1e-5, atol=1e-6,
+                                   err_msg=f"loss '{k}' not padding-invariant")
+
+
+def test_weight_key_always_present():
+    """pad_batch_to_multiple emits batch_weight even at pad==0 so the
+    jitted train step keeps a single signature."""
+    b = pad_batch_to_multiple(_batch(8), 8)
+    assert b["batch_weight"].shape == (8,)
+    assert b["batch_weight"].min() == 1.0
+
+
+def test_train_mode_padded_batch_finite(model_and_vars):
+    """Train-mode loss + grads stay finite with zero-weight rows (the
+    all-invalid-row -inf/NaN cotangent trap)."""
+    model, variables = model_and_vars
+    padded = _with_fixed_diffusion(_batch(3, multiple=8))
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params,
+             "batch_stats": variables.get("batch_stats", {})},
+            padded, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(4),
+                  "diffusion": jax.random.PRNGKey(5),
+                  "style": jax.random.PRNGKey(6)})
+        return out["loss"]
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    flat = jax.tree.leaves(grads)
+    assert all(bool(jnp.all(jnp.isfinite(g))) for g in flat)
+
+
+def test_padded_rows_get_zero_gradient(model_and_vars):
+    """d(loss)/d(padded mel rows) == 0: the padded rows' *contents* cannot
+    influence training (their presence only affects BatchNorm batch stats,
+    which this isolates by differentiating w.r.t. the input)."""
+    model, variables = model_and_vars
+    padded = _with_fixed_diffusion(_batch(3, multiple=4))
+
+    def loss_fn(mel):
+        b = dict(padded)
+        b["mel"] = mel
+        out = model.apply(
+            {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {})},
+            b, train=False)
+        return out["loss"]
+
+    g = jax.grad(loss_fn)(jnp.asarray(padded["mel"]))
+    np.testing.assert_allclose(np.asarray(g[3]), 0.0, atol=1e-12)
+    assert float(jnp.abs(g[:3]).max()) > 0.0
