@@ -36,7 +36,17 @@ class Synthesizer:
         phone_quantum: int = 16,
         frame_quantum: int = 128,
         max_frames_cap: int = 2048,
+        vocoder_mode: str = "batched",
+        mesh=None,
+        chunk_frames: int = 256,
+        halo_frames: int = 16,
+        upsample: int = 240,
     ):
+        """vocoder_mode: "batched" (one call over the utterance batch),
+        "chunked" (fold fixed-size mel chunks into the batch axis — one
+        compiled shape for any length), or "sharded" (chunked + the chunk
+        batch spread over ``mesh``'s data axis; vocoders/streaming.py)."""
+        assert vocoder_mode in ("batched", "chunked", "sharded")
         self.model = model
         self.variables = variables
         self.vocoder = vocoder
@@ -47,6 +57,15 @@ class Synthesizer:
         self.phone_quantum = phone_quantum
         self.frame_quantum = frame_quantum
         self.max_frames_cap = max_frames_cap
+        self.vocoder_mode = vocoder_mode
+        self.chunk_frames = chunk_frames
+        self.halo_frames = halo_frames
+        self.upsample = upsample
+        if vocoder_mode == "sharded" and mesh is None:
+            from promptttspp_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+        self.mesh = mesh
 
         # variables are explicit jit arguments: closure-captured params
         # would be inlined as giant HLO constants (slow/fragile compiles)
@@ -188,15 +207,32 @@ class Synthesizer:
         wavs, mels = [], []
         flens_np = np.asarray(flens)
         if self._voc_fn is not None:
-            wav = np.asarray(
-                self._voc_fn(self.vocoder_variables, mel_denorm, f0))
+            if self.vocoder_mode == "sharded":
+                from promptttspp_tpu.vocoders.streaming import vocode_sharded
+
+                wav = np.asarray(vocode_sharded(
+                    self.mesh, self.vocoder, self.vocoder_variables,
+                    mel_denorm, f0, chunk_frames=self.chunk_frames,
+                    halo_frames=self.halo_frames, upsample=self.upsample,
+                    deterministic=True))
+            elif self.vocoder_mode == "chunked":
+                from promptttspp_tpu.vocoders.streaming import vocode_chunked
+
+                wav = np.asarray(vocode_chunked(
+                    self.vocoder, self.vocoder_variables, mel_denorm, f0,
+                    chunk_frames=self.chunk_frames,
+                    halo_frames=self.halo_frames, upsample=self.upsample,
+                    deterministic=True))
+            else:
+                wav = np.asarray(
+                    self._voc_fn(self.vocoder_variables, mel_denorm, f0))
         else:
             wav = None
         for i in range(len(phoneme_seqs)):
             n = int(flens_np[i])
             mels.append(np.asarray(mel_denorm)[i, :n])
             if wav is not None:
-                wavs.append(wav[i, : n * 240, 0])
+                wavs.append(wav[i, : n * self.upsample, 0])
         return wavs, mels
 
 

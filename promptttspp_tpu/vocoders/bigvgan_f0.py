@@ -69,12 +69,14 @@ class F0AwareBigVGAN(nn.Module):
         self.act_post = AntiAliasActivation(last_ch, name="act_post")
         self.conv_post = conv1d(1, 7, name="conv_post")
 
-    def __call__(self, mel, f0, rng=None, deterministic: bool = False):
+    def __call__(self, mel, f0, rng=None, deterministic: bool = False,
+                 phase0=None):
         """mel [B, T, in_channel]; f0 [B, T, 1] (Hz, 0 = unvoiced)
-        -> wav [B, 240*T, 1]."""
+        -> wav [B, 240*T, 1]. phase0 [B, 1]: initial source phase in
+        revolutions (chunk-continuous synthesis, vocoders/streaming.py)."""
         total_up = int(np.prod(self.upsample_rates))
         f0_up = jnp.repeat(f0, total_up, axis=1)  # nearest upsample x240
-        har_source, _, _ = self.m_source(f0_up, rng, deterministic)
+        har_source, _, _ = self.m_source(f0_up, rng, deterministic, phase0)
 
         x = self.conv_pre(mel)
         for up, noise_conv, mrf in zip(self.upsamples, self.noise_convs,

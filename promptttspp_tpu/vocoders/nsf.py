@@ -40,8 +40,15 @@ class SineGen(nn.Module):
         shift = jnp.pad(-wrapped.astype(rad.dtype), ((0, 0), (1, 0), (0, 0)))
         return jnp.sin(jnp.cumsum(rad + shift, axis=1) * (2 * np.pi))
 
-    def __call__(self, f0, rng=None, deterministic: bool = False):
-        """f0 [B, T, 1] -> (sine_waves [B,T,D], uv [B,T,1], noise)."""
+    def __call__(self, f0, rng=None, deterministic: bool = False,
+                 phase0=None):
+        """f0 [B, T, 1] -> (sine_waves [B,T,D], uv [B,T,1], noise).
+
+        phase0 [B, 1] (fundamental phase at t=0, in revolutions) offsets
+        harmonic k by k*phase0 — chunked/streaming synthesis passes the
+        global phase accumulated before the chunk so the sine source is
+        continuous across chunk boundaries (vocoders/streaming.py).
+        """
         B, T, _ = f0.shape
         D = self.harmonic_num + 1
         harmonics = jnp.arange(1, D + 1, dtype=f0.dtype)  # k-th harmonic = k*f0
@@ -55,6 +62,8 @@ class SineGen(nn.Module):
             rand_ini = jax.random.uniform(r1, (B, D), f0.dtype)
             rand_ini = rand_ini.at[:, 0].set(0.0)
             noise_unit = jax.random.normal(r2, (B, T, D), f0.dtype)
+        if phase0 is not None:
+            rand_ini = rand_ini + (phase0 * harmonics[None, :]) % 1.0
 
         sine_waves = self._f02sine(f0_buf, rand_ini) * self.sine_amp
         uv = (f0 > self.voiced_threshold).astype(f0.dtype)
@@ -74,7 +83,8 @@ class SourceModuleHnNSF(nn.Module):
     voiced_threshod: float = 0.0
 
     @nn.compact
-    def __call__(self, f0, rng=None, deterministic: bool = False):
+    def __call__(self, f0, rng=None, deterministic: bool = False,
+                 phase0=None):
         """f0 [B, T, 1] -> (sine_merge [B,T,1], noise [B,T,1], uv [B,T,1])."""
         sin_gen = SineGen(
             self.sampling_rate, self.harmonic_num, self.sine_amp,
@@ -83,7 +93,7 @@ class SourceModuleHnNSF(nn.Module):
             sine_rng, noise_rng = None, None
         else:
             sine_rng, noise_rng = jax.random.split(rng)
-        sine_wavs, uv, _ = sin_gen(f0, sine_rng, deterministic)
+        sine_wavs, uv, _ = sin_gen(f0, sine_rng, deterministic, phase0)
         sine_merge = jnp.tanh(
             nn.Dense(1, name="l_linear")(sine_wavs))
         if deterministic:

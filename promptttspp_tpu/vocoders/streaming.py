@@ -35,12 +35,35 @@ def _pad_to(x, length, axis=1):
     return jnp.pad(x, cfg, mode="edge")
 
 
+def _chunk_phase0(f0_p, starts, halo_frames, upsample, sample_rate):
+    """Fundamental NSF-source phase (in revolutions) accumulated before
+    each chunk's input start, measured from the UNPADDED stream's t=0.
+
+    The sine source integrates f0 over samples (nsf.py _f02sine); nearest
+    x`upsample` frame upsampling means the phase at the start of padded
+    frame p is (upsample/sr) * sum(f0_p[:, :p]); subtracting the left-halo
+    pad's contribution re-references to the real t=0, so chunk ci's
+    OUTPUT region carries exactly the full-synthesis phase. -> [B, n]."""
+    cum = jnp.cumsum(f0_p[..., 0], axis=1)
+    excl = jnp.pad(cum, ((0, 0), (1, 0)))[:, :-1]  # exclusive cumsum
+    ph = excl[:, starts] - excl[:, halo_frames:halo_frames + 1]
+    return (ph * (upsample / sample_rate)) % 1.0
+
+
+def _vocoder_sr(vocoder, sample_rate):
+    return sample_rate or getattr(vocoder, "sampling_rate", None)
+
+
 def vocode_chunked(vocoder, variables, mel, f0=None, chunk_frames: int = 256,
                    halo_frames: int = 16, upsample: int = 240,
+                   sample_rate: Optional[int] = None,
                    **apply_kwargs):
     """mel [B, T, n_mels] (+ f0 [B, T, 1]) -> wav [B, T*upsample, 1].
 
-    All chunks are synthesized in one batched call.
+    All chunks are synthesized in one batched call. For F0-aware (NSF)
+    vocoders, each chunk receives the global source phase accumulated
+    before its input start, so the harmonic excitation is continuous
+    across chunk boundaries and matches full-utterance synthesis.
     """
     B, T, M = mel.shape
     step = chunk_frames
@@ -60,6 +83,12 @@ def vocode_chunked(vocoder, variables, mel, f0=None, chunk_frames: int = 256,
     if f0 is not None:
         f0_c = f0_p[:, idx, :].reshape(B * n_chunks, win, 1)
         args = (mel_c, f0_c)
+        sr = _vocoder_sr(vocoder, sample_rate)
+        if sr:
+            starts = np.arange(n_chunks) * step
+            phase0 = _chunk_phase0(f0_p, starts, halo_frames, upsample, sr)
+            apply_kwargs = dict(apply_kwargs,
+                                phase0=phase0.reshape(B * n_chunks, 1))
 
     wav_c = vocoder.apply(variables, *args, **apply_kwargs)
     h = halo_frames * upsample
@@ -70,36 +99,46 @@ def vocode_chunked(vocoder, variables, mel, f0=None, chunk_frames: int = 256,
 
 def vocode_streaming(vocoder, variables, mel, f0=None,
                      chunk_frames: int = 256, halo_frames: int = 16,
-                     upsample: int = 240,
+                     upsample: int = 240, sample_rate: Optional[int] = None,
                      **apply_kwargs) -> Iterator[jnp.ndarray]:
     """Sequential generator of wav chunks [B, chunk*upsample, 1] (the last
     chunk may be shorter). One compiled shape regardless of utterance
-    length; constant device memory."""
+    length; constant device memory; NSF source phase continuous across
+    chunks (see vocode_chunked)."""
     B, T, M = mel.shape
     step = chunk_frames
     n_chunks = -(-T // step)
     Tp = n_chunks * step
     mel_p = _pad_to(mel, Tp + halo_frames)
     mel_p = jnp.pad(mel_p, ((0, 0), (halo_frames, 0), (0, 0)), mode="edge")
+    phase0 = None
     if f0 is not None:
         f0_p = _pad_to(f0, Tp + halo_frames)
         f0_p = jnp.pad(f0_p, ((0, 0), (halo_frames, 0), (0, 0)), mode="edge")
+        sr = _vocoder_sr(vocoder, sample_rate)
+        if sr:
+            starts = np.arange(n_chunks) * step
+            phase0 = _chunk_phase0(f0_p, starts, halo_frames, upsample, sr)
 
     win = step + 2 * halo_frames
 
     @jax.jit
-    def run(variables, *chunk_args):
-        wav = vocoder.apply(variables, *chunk_args, **apply_kwargs)
+    def run(variables, *chunk_args, **chunk_kwargs):
+        wav = vocoder.apply(variables, *chunk_args, **apply_kwargs,
+                            **chunk_kwargs)
         h = halo_frames * upsample
         return wav[:, h:h + step * upsample, :]
 
     for ci in range(n_chunks):
         s = ci * step
         margs = (jax.lax.dynamic_slice_in_dim(mel_p, s, win, axis=1),)
+        kwargs = {}
         if f0 is not None:
             margs = margs + (
                 jax.lax.dynamic_slice_in_dim(f0_p, s, win, axis=1),)
-        wav = run(variables, *margs)
+            if phase0 is not None:
+                kwargs["phase0"] = phase0[:, ci:ci + 1]
+        wav = run(variables, *margs, **kwargs)
         remaining = T * upsample - ci * step * upsample
         if remaining < step * upsample:
             wav = wav[:, :remaining, :]
@@ -108,7 +147,8 @@ def vocode_streaming(vocoder, variables, mel, f0=None,
 
 def vocode_sharded(mesh, vocoder, variables, mel, f0=None,
                    chunk_frames: int = 256, halo_frames: int = 16,
-                   upsample: int = 240, **apply_kwargs):
+                   upsample: int = 240, sample_rate: Optional[int] = None,
+                   **apply_kwargs):
     """Mesh-parallel chunked synthesis: the chunk batch is sharded over the
     mesh's ``data`` axis, so an utterance's frame axis spreads across
     chips (the v5e-8 answer to the RTF target — the vocoder is
@@ -135,13 +175,21 @@ def vocode_sharded(mesh, vocoder, variables, mel, f0=None,
     mel_c = jax.device_put(
         mel_p[:, idx, :].reshape(B * n_chunks, win, M), shard)
     args = (mel_c,)
+    kwargs = {}
     if f0 is not None:
         f0_c = jax.device_put(
             f0_p[:, idx, :].reshape(B * n_chunks, win, 1), shard)
         args = (mel_c, f0_c)
+        sr = _vocoder_sr(vocoder, sample_rate)
+        if sr:
+            starts = np.arange(n_chunks) * step
+            phase0 = _chunk_phase0(f0_p, starts, halo_frames, upsample, sr)
+            kwargs["phase0"] = jax.device_put(
+                np.asarray(phase0).reshape(B * n_chunks, 1), shard)
 
-    wav_c = jax.jit(lambda v, *a: vocoder.apply(v, *a, **apply_kwargs))(
-        variables, *args)
+    wav_c = jax.jit(
+        lambda v, a, kw: vocoder.apply(v, *a, **kw, **apply_kwargs))(
+        variables, args, kwargs)
     h = halo_frames * upsample
     wav_c = wav_c[:, h:h + step * upsample, :]
     wav = wav_c.reshape(B, n_chunks * step * upsample, 1)

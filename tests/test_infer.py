@@ -123,6 +123,52 @@ def test_wav_to_mel_and_reference_wavs(tiny):
     assert mels[0].shape[1] == MEL
 
 
+def test_sharded_vocoder_mode_matches_batched(tiny):
+    """Synthesizer(vocoder_mode="sharded") — chunk batch spread over the
+    8-virtual-device mesh (VERDICT r1 #9) — produces the same waveform as
+    the plain batched call, up to halo-context tolerance."""
+    import tests.test_train as tt
+
+    from promptttspp_tpu.parallel.mesh import make_mesh
+    from promptttspp_tpu.vocoders.bigvgan_f0 import F0AwareBigVGAN
+
+    model, variables, ds = tiny
+    voc = F0AwareBigVGAN(
+        sampling_rate=24000, harmonic_num=2, in_channel=MEL,
+        upsample_initial_channel=16,
+        upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+        resblock_kernel_sizes=(3,), resblock_dilations=((1, 2),))
+    mel0 = jnp.zeros((1, 16, MEL))
+    f00 = jnp.zeros((1, 16, 1))
+    voc_vars = voc.init(jax.random.PRNGKey(2), mel0, f00,
+                        deterministic=True)
+
+    seqs = [list(ds[i]["phonemes"]) for i in range(2)]
+    # NSF upsample factor is prod(upsample_rates)=8, not 240
+    kw = dict(vocoder=voc, vocoder_variables=voc_vars,
+              tokenizer=tt.TokenHashTokenizer(),
+              mel_stats={"mean": MEAN, "std": STD},
+              frame_quantum=64, max_frames_cap=512, upsample=8)
+    batched = Synthesizer(model, variables, **kw)
+    sharded = Synthesizer(model, variables, vocoder_mode="sharded",
+                          mesh=make_mesh(), chunk_frames=16, halo_frames=12,
+                          **kw)
+    wav_b, _ = batched.synthesize(seqs, prompts=["a", "b"], seed=2)
+    wav_s, _ = sharded.synthesize(seqs, prompts=["a", "b"], seed=2)
+    assert len(wav_b) == len(wav_s) == 2
+    margin = 12 * 8  # halo_frames * upsample: edge context differs
+    # (zero-pad in the full call vs edge-replication in chunks)
+    for a, b in zip(wav_b, wav_s):
+        assert a.shape == b.shape
+        assert np.isfinite(a).all() and np.isfinite(b).all()
+        # phase-continuous chunking (streaming.py _chunk_phase0) makes
+        # sharded synthesis match the full batched call to float
+        # tolerance in the interior
+        if len(a) > 2 * margin:
+            np.testing.assert_allclose(a[margin:-margin],
+                                       b[margin:-margin], atol=5e-3)
+
+
 def test_conditioning_xor(tiny):
     model, variables, ds = tiny
     synth = _make_synth(model, variables)

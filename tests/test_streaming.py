@@ -62,3 +62,77 @@ def test_sharded_matches_chunked():
     assert sharded.shape == chunked.shape
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(chunked),
                                atol=1e-5)
+
+
+def f0_vocoder():
+    from promptttspp_tpu.vocoders.bigvgan_f0 import F0AwareBigVGAN
+
+    voc = F0AwareBigVGAN(
+        sampling_rate=24000, harmonic_num=2, in_channel=12,
+        upsample_initial_channel=16, upsample_rates=(4, 2),
+        upsample_kernel_sizes=(8, 4), resblock_kernel_sizes=(3,),
+        resblock_dilations=((1, 2),))
+    mel = jnp.zeros((1, 16, 12))
+    f0 = jnp.zeros((1, 16, 1))
+    variables = voc.init(jax.random.PRNGKey(3), mel, f0, deterministic=True)
+    return voc, variables
+
+
+def test_f0_aware_chunked_phase_continuity():
+    """NSF source phase must be continuous across chunk boundaries:
+    with per-chunk global phase offsets (streaming._chunk_phase0), chunked
+    synthesis of a VOICED utterance matches full synthesis — the hard
+    case the plain (phase-reset) chunking gets wrong."""
+    voc, variables = f0_vocoder()
+    rng = np.random.RandomState(4)
+    T = 96
+    mel = jnp.asarray(rng.randn(1, T, 12).astype(np.float32))
+    # fully voiced, varying f0 (vibrato around 150 Hz)
+    f0 = jnp.asarray(
+        (150 + 20 * np.sin(np.linspace(0, 6, T)))[None, :, None]
+        .astype(np.float32))
+    full = voc.apply(variables, mel, f0, deterministic=True)
+    chunked = vocode_chunked(voc, variables, mel, f0, chunk_frames=16,
+                             halo_frames=12, upsample=8,
+                             deterministic=True)
+    assert chunked.shape == full.shape
+    err = np.abs(np.asarray(chunked) - np.asarray(full))
+    assert err[:, 12 * 8: -12 * 8].max() < 2e-3, err.max()
+
+    # counterfactual: WITHOUT phase continuity the chunks diverge, which
+    # proves the test would catch a phase reset
+    import promptttspp_tpu.vocoders.streaming as streaming
+
+    orig = streaming._chunk_phase0
+    streaming._chunk_phase0 = lambda *a, **k: jnp.zeros(
+        (1, len(a[1]))) if True else orig(*a, **k)
+    try:
+        broken = vocode_chunked(voc, variables, mel, f0, chunk_frames=16,
+                                halo_frames=12, upsample=8,
+                                deterministic=True)
+    finally:
+        streaming._chunk_phase0 = orig
+    err_b = np.abs(np.asarray(broken) - np.asarray(full))
+    assert err_b[:, 12 * 8: -12 * 8].max() > 10 * err[:, 12 * 8: -12 * 8].max()
+
+
+def test_f0_aware_sharded_matches_full():
+    from promptttspp_tpu.parallel.mesh import make_mesh
+    from promptttspp_tpu.vocoders.streaming import vocode_sharded
+
+    voc, variables = f0_vocoder()
+    rng = np.random.RandomState(5)
+    T = 80
+    mel = jnp.asarray(rng.randn(1, T, 12).astype(np.float32))
+    f0 = jnp.asarray(
+        (120 + 30 * np.sin(np.linspace(0, 4, T)))[None, :, None]
+        .astype(np.float32))
+    full = voc.apply(variables, mel, f0, deterministic=True)
+    mesh = make_mesh()
+    with mesh:
+        sharded = vocode_sharded(mesh, voc, variables, mel, f0,
+                                 chunk_frames=16, halo_frames=12,
+                                 upsample=8, deterministic=True)
+    assert sharded.shape == full.shape
+    err = np.abs(np.asarray(sharded) - np.asarray(full))
+    assert err[:, 12 * 8: -12 * 8].max() < 2e-3, err.max()
