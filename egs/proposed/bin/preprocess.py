@@ -41,6 +41,7 @@ def main():
         hop_length=cfg.hop_length,
         batch_size=cfg.get("batch_size", 16),
         debug=cfg.get("debug", False),
+        f0_method=cfg.get("f0_method", "yin"),
     )
 
 

@@ -88,7 +88,8 @@ def extract_f0(
     hop_length: int = 240,
     f0_floor=60.0,
     f0_ceil=600.0,
-    trough_threshold: float = 0.15,
+    trough_threshold: float = 0.25,
+    voicing_threshold: float = 0.35,
     rms_floor: float = 0.01,
     lag_search_floor: float = 40.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -128,6 +129,34 @@ def extract_f0(
     global_min = jnp.argmin(masked, axis=-1).astype(jnp.int32)
     tau = jnp.where(first_below < big, first_below, global_min)
 
+    # octave-high (half-period) guard: when a dominant 2nd harmonic
+    # (e.g. near a formant) dips the CMND below threshold at tau0/2, the
+    # first-below rule picks the half period. Discriminator (measured on
+    # formant-filtered pulse trains): for a TRUE period pick every lag
+    # multiple troughs equally deep, but for a half-period pick the
+    # depths ALTERNATE — odd multiples (tau, 3*tau = 0.5 and 1.5 true
+    # periods) stay moderate while even multiples (2*tau = the true
+    # period) are decisively deeper. Jump to 2*tau only on that
+    # alternating signature; plain depth comparison would also fire on
+    # correct picks where jitter makes the subharmonic marginally deeper.
+    def _minw(t, w=4):
+        tc = jnp.clip(t, 1 + w, max_lag - 1 - w)
+        vals = jnp.stack([
+            jnp.take_along_axis(cmnd, (tc + o)[..., None], axis=-1)[..., 0]
+            for o in range(-w, w + 1)], axis=-1)
+        off = jnp.argmin(vals, axis=-1).astype(jnp.int32) - w
+        return tc + off, jnp.min(vals, axis=-1)
+
+    cm_tau = jnp.take_along_axis(cmnd, tau[..., None], axis=-1)[..., 0]
+    tau2, cm_tau2 = _minw(2 * tau)
+    _, cm_tau3 = _minw(3 * tau)
+    in_lag = (2 * tau).astype(wav.dtype)[..., None] <= lag_max
+    in_lag3 = 3 * tau <= max_lag - 5
+    jump = (in_lag[..., 0] & in_lag3
+            & (cm_tau > 0.08)
+            & (cm_tau2 < 0.5 * jnp.minimum(cm_tau, cm_tau3)))
+    tau = jnp.where(jump, tau2, tau)
+
     # parabolic interpolation around tau
     tau_c = jnp.clip(tau, 1, max_lag - 2)
     gather = lambda off: jnp.take_along_axis(
@@ -142,7 +171,7 @@ def extract_f0(
     f0 = sample_rate / jnp.maximum(refined, 1.0)
     cm_best = jnp.take_along_axis(cmnd, tau[..., None], axis=-1)[..., 0]
     voiced = (
-        (cm_best < trough_threshold * 2.0)
+        (cm_best < voicing_threshold)
         & (rms > rms_floor)
         & (f0 >= f0_floor[:, None] * 0.9)
         & (f0 <= f0_ceil[:, None] * 1.1)

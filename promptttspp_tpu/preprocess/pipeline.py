@@ -50,10 +50,17 @@ class BatchedFeatureExtractor:
     """Length-bucketed batched F0 + mel extraction on device."""
 
     def __init__(self, sample_rate=24000, hop_length=240,
-                 sample_quantum=24000 * 2, transform=None):
+                 sample_quantum=24000 * 2, transform=None,
+                 f0_method: str = "yin"):
+        """f0_method: "yin" (batched on-device, ops/f0.py) or "world"
+        (host numpy DIO+StoneMask, preprocess/world_f0.py — the offline
+        mirror of the reference's pyworld toolchain; measured deltas in
+        BENCHMARKS.md / tests/test_f0_parity.py)."""
+        assert f0_method in ("yin", "world")
         self.sr = sample_rate
         self.hop = hop_length
         self.quantum = sample_quantum
+        self.f0_method = f0_method
         self.to_mel = transform or MelSpectrogramTransform(
             sample_rate=sample_rate, hop_length=hop_length)
         self._f0_fn = {}
@@ -77,9 +84,26 @@ class BatchedFeatureExtractor:
         for i, w in enumerate(wavs):
             padded[i, : len(w)] = w
         f0_fn, mel_fn = self._fns(Ts)
-        f0, vuv = f0_fn(jnp.asarray(padded), jnp.asarray(f0_floor),
-                        jnp.asarray(f0_ceil))
-        cf0 = to_log_scale(interp1d(f0))
+        if self.f0_method == "world":
+            from promptttspp_tpu.preprocess.world_f0 import (
+                extract_pitch_world)
+
+            T = 1 + Ts // self.hop
+            f0 = np.zeros((B, T), np.float32)
+            cf0 = np.zeros((B, T), np.float32)
+            vuv = np.zeros((B, T), np.float32)
+            floors = np.broadcast_to(np.asarray(f0_floor, np.float32), (B,))
+            ceils = np.broadcast_to(np.asarray(f0_ceil, np.float32), (B,))
+            for i in range(B):
+                fi, ci, vi = extract_pitch_world(
+                    padded[i], self.sr, self.hop,
+                    f0_floor=float(floors[i]), f0_ceil=float(ceils[i]))
+                n = min(T, len(fi))
+                f0[i, :n], cf0[i, :n], vuv[i, :n] = fi[:n], ci[:n], vi[:n]
+        else:
+            f0, vuv = f0_fn(jnp.asarray(padded), jnp.asarray(f0_floor),
+                            jnp.asarray(f0_ceil))
+            cf0 = to_log_scale(interp1d(f0))
         mel = mel_fn(jnp.asarray(padded))
         f0, vuv, cf0, mel = map(np.asarray, (f0, vuv, cf0, mel))
         out = []
@@ -103,6 +127,7 @@ def preprocess_corpus(
     hop_length: int = 240,
     batch_size: int = 16,
     debug: bool = False,
+    f0_method: str = "yin",
 ):
     """Full corpus pass (`preprocess.py:96-150` + `compute_mel.py`):
     durations from TextGrid, batched F0 + mel on device, global mel stats,
@@ -116,7 +141,8 @@ def preprocess_corpus(
     df = pd.read_csv(data_csv)
     if debug:
         df = df.head(50)
-    extractor = BatchedFeatureExtractor(sample_rate, hop_length)
+    extractor = BatchedFeatureExtractor(sample_rate, hop_length,
+                                        f0_method=f0_method)
 
     rows, mel_sum, mel_sqsum, mel_count = [], 0.0, 0.0, 0
     mel_min, mel_max = np.inf, -np.inf

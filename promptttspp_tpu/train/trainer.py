@@ -97,14 +97,25 @@ class TTSTrainer:
         self.log_dir.mkdir(parents=True, exist_ok=True)
         self.ckpt_dir.mkdir(parents=True, exist_ok=True)
         (self.output_dir / "config.yaml").write_text(self.cfg.to_yaml())
-        if not logger.handlers:
-            fh = logging.FileHandler(self.log_dir / "train.log")
+        # the logger is module-global: drop file handlers left by a
+        # previous trainer (another output_dir in the same process) and
+        # attach this run's
+        log_path = str(self.log_dir / "train.log")
+        for h in list(logger.handlers):
+            if isinstance(h, logging.FileHandler) and \
+                    h.baseFilename != log_path:
+                logger.removeHandler(h)
+                h.close()
+        if not any(isinstance(h, logging.FileHandler)
+                   for h in logger.handlers):
+            fh = logging.FileHandler(log_path)
             fh.setFormatter(logging.Formatter(
                 "[%(asctime)s][%(levelname)s][%(module)s | %(lineno)s] "
                 "%(message)s"))
             logger.addHandler(fh)
-            sh = logging.StreamHandler()
-            logger.addHandler(sh)
+        if not any(type(h) is logging.StreamHandler
+                   for h in logger.handlers):
+            logger.addHandler(logging.StreamHandler())
         self.logger = logger
         try:
             from tensorboardX import SummaryWriter

@@ -111,6 +111,8 @@ def main():
     ap.add_argument("--batch-quantum", type=int, default=8,
                     help="pad batch size up to this multiple with "
                     "zero-weight rows (bounds compile count)")
+    ap.add_argument("--frame-quantum", type=int, default=64)
+    ap.add_argument("--phone-quantum", type=int, default=16)
     args = ap.parse_args()
 
     from promptttspp_tpu.data import native_loader
@@ -139,7 +141,9 @@ def main():
         prompt_candidate_file=root / "style.csv",
         spk_prompt_candidate_file=root / "spk.csv", seed=0)
     collator = PromptTTSCollator(tokenizer=Vocab30kTokenizer(),
-                                 mel_dim=mel_dim)
+                                 mel_dim=mel_dim,
+                                 frame_quantum=args.frame_quantum,
+                                 phone_quantum=args.phone_quantum)
     mesh = make_mesh()
     n_data = mesh.shape["data"]
     batches = batch_by_size(ds.ordered_indices(), ds.num_tokens,
@@ -181,11 +185,29 @@ def main():
                                       pad_mult)
             yield b, shard_batch(model_batch(b), mesh)
 
-    def prefetch_loader(native):
+    def sync_native_loader():
+        # synchronous loop, but feature IO through the C++ loader (its
+        # threads run outside the GIL): the 1-core-host-friendly fast path
+        from promptttspp_tpu.data.prefetch import _collate_native
+
+        for idx in sampler:
+            metas = [ds.item_meta(i) for i in idx]
+            b = pad_batch_to_multiple(
+                _collate_native(metas, collator, ds.stats), pad_mult)
+            yield b, shard_batch(model_batch(b), mesh)
+
+    def prefetch_loader(native, device_put_in_worker=True):
         return prefetch_batches(
-            ds, sampler, collator, pad_multiple=pad_mult, mesh=mesh,
+            ds, sampler, collator, pad_multiple=pad_mult,
+            mesh=mesh if device_put_in_worker else None,
             model_keys=MODEL_BATCH_KEYS, num_workers=args.workers,
             prefetch_depth=3, use_native=native)
+
+    def prefetch_host_loader(native):
+        # device_put on the consumer thread (tunneled backends serialize
+        # transfers behind one lock; keep the worker pool IO-only)
+        for b, dev in prefetch_loader(native, device_put_in_worker=False):
+            yield b, shard_batch(dev, mesh)
 
     modes = args.modes.split(",")
     results = {}
@@ -204,15 +226,21 @@ def main():
         results["ceiling"] = frames / dt
         del resident
 
-    for mode, native in (("sync", None), ("prefetch", False),
-                         ("native", True)):
-        if mode not in modes:
+    loaders = {
+        "sync": sync_loader,
+        "sync_native": sync_native_loader,
+        "prefetch": lambda: prefetch_loader(False),
+        "native": lambda: prefetch_loader(True),
+        "prefetch_host": lambda: prefetch_host_loader(False),
+        "native_host": lambda: prefetch_host_loader(True),
+    }
+    for mode in modes:
+        if mode == "ceiling":
             continue
-        if native and not native_loader.available():
+        if "native" in mode and not native_loader.available():
             print("native loader not built; skipping", file=sys.stderr)
             continue
-        loader_fn = (sync_loader if mode == "sync"
-                     else lambda: prefetch_loader(native))
+        loader_fn = loaders[mode]
         t0 = time.perf_counter()
         frames = 0
         for _ in range(args.epochs):
