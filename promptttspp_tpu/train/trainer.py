@@ -155,6 +155,12 @@ class TTSTrainer:
             process_id=cfg.select("train.distributed.process_id"),
         )
         self.is_main = jax.process_index() == 0
+        # persistent XLA compilation cache: dynamic-batch training
+        # compiles one program per shape bucket; caching them makes
+        # restarts/resumes start hot (the reference has no analog)
+        cache_dir = cfg.select("train.compilation_cache_dir")
+        if cache_dir:
+            jax.config.update("jax_compilation_cache_dir", str(cache_dir))
         self._setup_logging()
         self._build_datasets()
 
@@ -259,18 +265,27 @@ class TTSTrainer:
             raise
         return state
 
-    def _sync_batches(self, sampler, collator, mesh, n_data, ds=None):
-        """Synchronous fallback (train.prefetch=false): assemble each
-        batch inline, exactly the reference's no-worker DataLoader.
-        Sampler entries may be (indices, collate_kwargs) tuples from
-        host_batches."""
+    def _sync_batches(self, sampler, collator, mesh, n_data, ds=None,
+                      native: bool = False):
+        """Synchronous assembly (train.input_pipeline=sync|sync_native):
+        each batch built inline, exactly the reference's no-worker
+        DataLoader; native=True routes feature IO through the C++ loader
+        (its threads run outside the GIL — the best path on
+        core-constrained hosts, see BENCHMARKS.md). Sampler entries may
+        be (indices, collate_kwargs) tuples from host_batches."""
         ds = ds if ds is not None else self.train_ds
+        if native:
+            from promptttspp_tpu.data.prefetch import _collate_native
         for entry in sampler:
             if isinstance(entry, tuple):
                 idx_batch, kwargs = entry
             else:
                 idx_batch, kwargs = entry, {}
-            batch = collator([ds[i] for i in idx_batch], **kwargs)
+            if native:
+                metas = [ds.item_meta(i) for i in idx_batch]
+                batch = _collate_native(metas, collator, ds.stats, **kwargs)
+            else:
+                batch = collator([ds[i] for i in idx_batch], **kwargs)
             batch = pad_batch_to_multiple(batch, n_data)
             yield batch, shard_batch(model_batch(batch), mesh)
 
@@ -280,10 +295,17 @@ class TTSTrainer:
                     profile_steps, profile_dir):
         cfg = self.cfg
         seed = cfg.select("train.seed", 42)
-        # async input pipeline (replaces the reference's 8-worker
-        # DataLoader + pin_memory, `tts.py:144-150`): batch assembly +
-        # device_put run ahead of the jitted step on a thread pool.
-        prefetch = cfg.select("train.prefetch", True)
+        # input pipeline (replaces the reference's 8-worker DataLoader +
+        # pin_memory, `tts.py:144-150`):
+        #   "prefetch"      async thread pool, native C++ loader when
+        #                   built (default — right for multi-core hosts)
+        #   "sync"          inline Python assembly
+        #   "sync_native"   inline + C++ loader (GIL-free IO threads;
+        #                   best on core-constrained hosts)
+        # train.prefetch=false is honored as "sync" for back-compat.
+        pipeline = cfg.select(
+            "train.input_pipeline",
+            "prefetch" if cfg.select("train.prefetch", True) else "sync")
         num_workers = cfg.select("train.num_workers", 8)
         prefetch_depth = cfg.select("train.prefetch_depth", 3)
         n_proc = jax.process_count()
@@ -300,7 +322,7 @@ class TTSTrainer:
                         prompt_pad_to=cfg.select("train.prompt_pad_to", 64))
                 else:
                     epoch_sampler = sampler
-                if prefetch:
+                if pipeline == "prefetch":
                     loader = prefetch_batches(
                         self.train_ds, epoch_sampler, collator,
                         pad_multiple=local_pad, mesh=mesh,
@@ -308,8 +330,9 @@ class TTSTrainer:
                         num_workers=num_workers,
                         prefetch_depth=prefetch_depth)
                 else:
-                    loader = self._sync_batches(epoch_sampler, collator,
-                                                mesh, local_pad)
+                    loader = self._sync_batches(
+                        epoch_sampler, collator, mesh, local_pad,
+                        native=(pipeline == "sync_native"))
                 for batch, sharded in loader:
                     n_frames += int(np.sum(batch["frame_lengths"]))
                     if profile_steps and global_step == profile_steps:

@@ -161,3 +161,23 @@ def test_worker_exception_propagates():
     with pytest.raises(ValueError, match="boom"):
         list(prefetch_batches(Exploding(6), [[0, 1], [2, 3]], collator,
                               num_workers=2))
+
+
+def test_trainer_sync_native_path(corpus):
+    """TTSTrainer._sync_batches(native=True) — the train.input_pipeline=
+    sync_native knob — matches the Python sync path bit-for-bit."""
+    from promptttspp_tpu.config import Config
+    from promptttspp_tpu.parallel.mesh import make_mesh
+    from promptttspp_tpu.train.trainer import TTSTrainer
+
+    collator = PromptTTSCollator(tokenizer=TokenHashTokenizer())
+    mesh = make_mesh()
+
+    def run(native):
+        tr = TTSTrainer(Config({}), train_ds=make_ds(corpus))
+        return [b for b, _ in tr._sync_batches(
+            iter(BATCHES), collator, mesh, 8, native=native)]
+
+    assert_batches_equal(run(True), run(False))
+    for g, w in zip(run(True), run(False)):
+        np.testing.assert_array_equal(g["prompt_ids"], w["prompt_ids"])
