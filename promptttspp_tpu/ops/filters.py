@@ -30,10 +30,18 @@ def butter_lowpass(order: int, cutoff_hz: float, fs: float):
     return np.asarray(b, np.float32), np.asarray(a, np.float32)
 
 
-def lfilter(x, b, a):
+def lfilter(x, b, a, associative: bool = True):
     """Direct-form II transposed IIR filter along the last axis.
 
     x: [..., T]; b, a: [K] with a[0] == 1 (normalized internally).
+
+    associative=True runs the recurrence as a parallel prefix
+    (``lax.associative_scan`` over (A, c) state-space pairs, O(log T)
+    depth) instead of a sequential ``lax.scan`` — the TPU-native shape
+    for a latency-bound IIR over a few hundred F0 frames. The delay-line
+    state obeys z_{t+1} = A z_t + g x_t with the (K-1)x(K-1) companion
+    matrix A, so prefix composition (M2@M1, M2@c1 + c2) yields every
+    state in log2(T) sweeps of tiny matmuls.
     """
     b = jnp.asarray(b, x.dtype)
     a = jnp.asarray(a, x.dtype)
@@ -42,6 +50,31 @@ def lfilter(x, b, a):
     K = b.shape[0]
     batch_shape = x.shape[:-1]
     xf = x.reshape((-1, x.shape[-1]))  # [B, T]
+    T = xf.shape[-1]
+
+    if associative and K > 1:
+        k = K - 1
+        # companion matrix of the DF2T delay-line update
+        A = jnp.zeros((k, k), x.dtype)
+        A = A.at[:, 0].set(-a[1:])
+        A = A.at[jnp.arange(k - 1), jnp.arange(1, k)].set(1.0)
+        g = b[1:] - a[1:] * b[0]  # [k]
+
+        v = xf.T[:, :, None] * g[None, None, :]      # [T, B, k]
+        M = jnp.broadcast_to(A, (T, k, k))
+
+        def combine(left, right):
+            Ml, vl = left
+            Mr, vr = right
+            return (jnp.einsum("tij,tjk->tik", Mr, Ml),
+                    jnp.einsum("tij,tbj->tbi", Mr, vl) + vr)
+
+        _, z_after = jax.lax.associative_scan(combine, (M, v))
+        # y_t needs the state BEFORE absorbing x_t
+        z_before = jnp.concatenate(
+            [jnp.zeros_like(z_after[:1]), z_after[:-1]], axis=0)
+        y = b[0] * xf.T + z_before[..., 0]           # [T, B]
+        return y.T.reshape(batch_shape + (x.shape[-1],))
 
     def step(z, x_t):
         # z: [B, K-1] delay line; x_t: [B]

@@ -214,3 +214,43 @@ def test_bf16_train_step(trained):
     assert np.isfinite(float(metrics["loss"]))
     leaf = jax.tree.leaves(new_state.params)[0]
     assert leaf.dtype == jnp.float32
+
+
+def test_emergency_checkpoint_on_crash(tmp_path):
+    """A mid-epoch failure must persist a crash checkpoint before
+    re-raising (SURVEY §5.3; trainer.run's failure handler)."""
+    from promptttspp_tpu.train import checkpoint as ckpt_lib
+    from promptttspp_tpu.train.trainer import TTSTrainer
+
+    class ExplodingDataset(SyntheticDataset):
+        def __init__(self):
+            super().__init__(16, seed=4)
+            self.calls = 0
+
+        def __getitem__(self, i):
+            self.calls += 1
+            if self.calls > 20:  # fail on a later batch, mid-epoch
+                raise RuntimeError("disk on fire")
+            return super().__getitem__(i)
+
+    cfg = Config({
+        "output_dir": str(tmp_path),
+        "train": {"seed": 0, "num_epochs": 2, "save_interval": 10,
+                  "lr_scheduler": {"warmup_steps": 10},
+                  "prefetch": False},
+        "optimizer": {"lr": 1e-3, "betas": [0.9, 0.98], "weight_decay": 0.0},
+        "dataset": {"dynamic_batch": True, "max_tokens": 200},
+    })
+    trainer = TTSTrainer(cfg, train_ds=ExplodingDataset(),
+                         tokenizer=TokenHashTokenizer(), model=tiny_model(),
+                         freeze_bert=False)
+    with pytest.raises(RuntimeError, match="disk on fire"):
+        trainer.run()
+
+    crash = tmp_path / "ckpt" / "crash"
+    assert crash.exists(), "no emergency checkpoint written"
+    # the crash checkpoint must be restorable and carry progressed steps
+    state = trainer._last_state
+    restored, epoch = ckpt_lib.restore_checkpoint(crash, state)
+    assert epoch == -1  # crash marker epoch
+    assert int(restored.step) > 0
