@@ -41,11 +41,16 @@ class Synthesizer:
         chunk_frames: int = 256,
         halo_frames: int = 16,
         upsample: int = 240,
+        frame_sharded_decode: bool = False,
     ):
         """vocoder_mode: "batched" (one call over the utterance batch),
         "chunked" (fold fixed-size mel chunks into the batch axis — one
         compiled shape for any length), or "sharded" (chunked + the chunk
-        batch spread over ``mesh``'s data axis; vocoders/streaming.py)."""
+        batch spread over ``mesh``'s data axis; vocoders/streaming.py).
+
+        frame_sharded_decode: run the 100-step diffusion decode with the
+        frame axis sharded over ``mesh``'s data axis (parallel/sp.py) —
+        exact sequence parallelism for long utterances."""
         assert vocoder_mode in ("batched", "chunked", "sharded")
         self.model = model
         self.variables = variables
@@ -61,7 +66,9 @@ class Synthesizer:
         self.chunk_frames = chunk_frames
         self.halo_frames = halo_frames
         self.upsample = upsample
-        if vocoder_mode == "sharded" and mesh is None:
+        self.frame_sharded_decode = frame_sharded_decode
+        if (vocoder_mode == "sharded" or frame_sharded_decode) \
+                and mesh is None:
             from promptttspp_tpu.parallel.mesh import make_mesh
 
             mesh = make_mesh()
@@ -73,6 +80,9 @@ class Synthesizer:
                                static_argnames=("use_max",))
         self._infer_fn = jax.jit(
             self._infer_pass,
+            static_argnames=("max_frames", "use_max", "noise_scale"))
+        self._cond_fn = jax.jit(
+            self._cond_pass,
             static_argnames=("max_frames", "use_max", "noise_scale"))
         self._voc_fn = None
         if vocoder is not None:
@@ -109,6 +119,16 @@ class Synthesizer:
             use_max=use_max, noise_scale=noise_scale,
             style_rng=style_rng, diffusion_rng=diffusion_rng,
             return_f0=True, method=type(self.model).infer)
+
+    def _cond_pass(self, variables, phoneme, phone_lengths, prompt_ids,
+                   prompt_mask, reference_mel, ref_lengths, use_max,
+                   noise_scale, style_rng, max_frames):
+        return self.model.apply(
+            variables, phoneme, phone_lengths, max_frames,
+            prompt_ids=prompt_ids, prompt_mask=prompt_mask,
+            reference_mel=reference_mel, ref_lengths=ref_lengths,
+            use_max=use_max, noise_scale=noise_scale,
+            style_rng=style_rng, method=type(self.model).infer_cond)
 
     # ------------------------------------------------------------- helpers
     def _pad_phonemes(self, seqs: Sequence[Sequence[int]]):
@@ -191,10 +211,24 @@ class Synthesizer:
                          self.frame_quantum),
             self.max_frames_cap)
 
-        mel, flens, log_cf0, vuv = self._infer_fn(
-            self.variables, phoneme, plens, prompt_ids, prompt_mask,
-            ref_mel, ref_lens, use_max, noise_scale, style_rng,
-            diffusion_rng, max_frames=max_frames)
+        if self.frame_sharded_decode:
+            # exact sequence parallelism: conditioner replicated, the
+            # 100-step decode sharded along frames (parallel/sp.py)
+            from promptttspp_tpu.parallel.sp import decode_frames_sharded
+
+            cond, flens, frame_mask, log_cf0, vuv = self._cond_fn(
+                self.variables, phoneme, plens, prompt_ids, prompt_mask,
+                ref_mel, ref_lens, use_max, noise_scale, style_rng,
+                max_frames=max_frames)
+            mel = decode_frames_sharded(
+                self.mesh, self.model, self.variables, cond,
+                diffusion_rng=diffusion_rng)
+            mel = mel * frame_mask[:, :, None].astype(mel.dtype)
+        else:
+            mel, flens, log_cf0, vuv = self._infer_fn(
+                self.variables, phoneme, plens, prompt_ids, prompt_mask,
+                ref_mel, ref_lens, use_max, noise_scale, style_rng,
+                diffusion_rng, max_frames=max_frames)
 
         # f0 smoothing + gating (`app.py:76-79`)
         log_cf0 = lowpass_filter(log_cf0[..., 0], fs=100, cutoff=20)

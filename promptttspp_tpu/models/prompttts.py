@@ -180,6 +180,39 @@ class PromptTTSMDNDurCFG(nn.Module):
     ):
         """Batched inference (`model.py:261-325` infer_batch) with static
         ``max_frames``. Returns (mel, frame_lengths[, log_cf0, vuv])."""
+        x, frame_lengths, frame_mask, log_cf0, vuv = self.infer_cond(
+            phoneme, phone_lengths, max_frames,
+            prompt_ids=prompt_ids, prompt_mask=prompt_mask,
+            reference_mel=reference_mel, ref_lengths=ref_lengths,
+            use_max=use_max, noise_scale=noise_scale, style_rng=style_rng)
+        fmask = frame_mask[:, :, None].astype(jnp.float32)
+
+        mel = self.decoder.inference(x, rng=diffusion_rng, x_T=x_T,
+                                     zero_noise=zero_noise)
+        mel = mel * fmask
+
+        if return_f0:
+            return mel, frame_lengths, log_cf0, vuv
+        return mel, frame_lengths
+
+    def infer_cond(
+        self,
+        phoneme,
+        phone_lengths,
+        max_frames: int,
+        prompt_ids=None,
+        prompt_mask=None,
+        reference_mel=None,
+        ref_lengths=None,
+        use_max: bool = True,
+        noise_scale: float = 1.0,
+        style_rng=None,
+    ):
+        """Everything up to (but excluding) the diffusion decoder:
+        -> (cond [B,Tf,C], frame_lengths, frame_mask, log_cf0, vuv).
+        Split out so the frame-level decode can run separately — e.g.
+        sharded over the mesh's data axis for long utterances
+        (parallel/sp.py; SURVEY §5.7c)."""
         assert (prompt_ids is not None) ^ (reference_mel is not None), \
             "exactly one of style inputs must be given"
 
@@ -203,17 +236,7 @@ class PromptTTSMDNDurCFG(nn.Module):
 
         x = x + style_emb
 
-        x, frame_lengths, frame_mask, log_cf0, vuv = self.variance_adaptor.infer(
-            x, phone_mask, max_frames)
-        fmask = frame_mask[:, :, None].astype(jnp.float32)
-
-        mel = self.decoder.inference(x, rng=diffusion_rng, x_T=x_T,
-                                     zero_noise=zero_noise)
-        mel = mel * fmask
-
-        if return_f0:
-            return mel, frame_lengths, log_cf0, vuv
-        return mel, frame_lengths
+        return self.variance_adaptor.infer(x, phone_mask, max_frames)
 
     def infer_frame_lengths(
         self,

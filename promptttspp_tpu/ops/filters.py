@@ -26,7 +26,7 @@ from scipy import signal as _scipy_signal
 @functools.lru_cache(maxsize=None)
 def butter_lowpass(order: int, cutoff_hz: float, fs: float):
     nyquist = fs // 2
-    b, a = _scipy_signal.butter(order, [cutoff_hz / nyquist], "lowpass")
+    b, a = _scipy_signal.butter(order, cutoff_hz / nyquist, "lowpass")
     return np.asarray(b, np.float32), np.asarray(a, np.float32)
 
 
