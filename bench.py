@@ -40,6 +40,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--sharded-vocoder", action="store_true")
+    ap.add_argument("--pndm-speedup", type=int, default=0,
+                    help="PLMS multistep sampling: K/N denoiser calls "
+                    "instead of K (different samples than ancestral)")
     ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args()
 
@@ -50,7 +53,9 @@ def main():
     SR, HOP = 24000, 240
     B, TP, MAX_FRAMES, L = args.batch, 64, 640, 32  # 6.4 s of audio per run
 
-    model = build_flagship_model()
+    overrides = ([f"+model.decoder.pndm_speedup={args.pndm_speedup}"]
+                 if args.pndm_speedup else [])
+    model = build_flagship_model(overrides)
     batch = example_batch(B=B, Tp=TP, Tf=MAX_FRAMES, L=L)
     variables = init_flagship(model, batch)
 
