@@ -12,7 +12,6 @@ set of compiled shapes (phone buckets x frame buckets).
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax

@@ -17,7 +17,7 @@ no-op/degenerate case.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional
 
 import jax
 import numpy as np

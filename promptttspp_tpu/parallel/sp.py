@@ -27,6 +27,27 @@ def frame_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(None, "data", None))
 
 
+# jitted decode per (model, zero_noise): building a fresh jax.jit every
+# call would retrace/recompile on each synthesize. Keyed by id() — the
+# caller (Synthesizer) owns the model for its lifetime.
+_DECODE_CACHE = {}
+
+
+def _decode_fn(model, zero_noise: bool):
+    key = (id(model), zero_noise)
+    if key not in _DECODE_CACHE:
+
+        def decode(variables, cond, rng, x_T):
+            return model.apply(
+                variables, cond, rng=rng, x_T=x_T, zero_noise=zero_noise,
+                method=lambda m, cond, rng, x_T, zero_noise:
+                    m.decoder.inference(cond, rng=rng, x_T=x_T,
+                                        zero_noise=zero_noise))
+
+        _DECODE_CACHE[key] = jax.jit(decode)
+    return _DECODE_CACHE[key]
+
+
 def decode_frames_sharded(mesh: Mesh, model, variables, cond,
                           diffusion_rng=None, x_T=None,
                           zero_noise: bool = False):
@@ -41,12 +62,6 @@ def decode_frames_sharded(mesh: Mesh, model, variables, cond,
     if x_T is not None:
         x_T = jax.device_put(x_T, sharding)
 
-    def decode(variables, cond, rng, x_T):
-        return model.apply(
-            variables, cond, rng=rng, x_T=x_T, zero_noise=zero_noise,
-            method=lambda m, cond, rng, x_T, zero_noise: m.decoder.inference(
-                cond, rng=rng, x_T=x_T, zero_noise=zero_noise))
-
     with mesh:
-        return jax.jit(decode, static_argnames=())(
+        return _decode_fn(model, zero_noise)(
             variables, cond, diffusion_rng, x_T)

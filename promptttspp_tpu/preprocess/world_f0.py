@@ -34,6 +34,7 @@ for an offline extraction path that mirrors the reference tool-chain.
 
 from __future__ import annotations
 
+import warnings
 from typing import Tuple
 
 import numpy as np
@@ -128,8 +129,6 @@ def dio(
         y = _lowpass(xd, fsd, boundary)
         tracks = _four_interval_tracks(y, fsd, frame_times)
         with np.errstate(invalid="ignore"), np.errstate(all="ignore"):
-            import warnings
-
             with warnings.catch_warnings():
                 warnings.simplefilter("ignore", RuntimeWarning)
                 cand = np.nanmean(tracks, axis=0)

@@ -18,7 +18,7 @@ import logging
 import random
 import time
 from pathlib import Path
-from typing import Dict, Iterable, Optional
+from typing import Dict, Optional
 
 import jax
 import numpy as np

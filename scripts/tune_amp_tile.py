@@ -5,12 +5,19 @@ Usage: python scripts/tune_amp_tile.py [C] [T]
 
 import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from promptttspp_tpu.platform import apply_platform_env
 
 apply_platform_env()
 
 import jax
+
+jax.devices()  # initialize the (possibly tunneled) backend before the
+               # pallas import touches platform discovery
+
 import jax.numpy as jnp
 import numpy as np
 
