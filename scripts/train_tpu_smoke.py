@@ -59,6 +59,7 @@ def main():
             "train": {"seed": 0, "num_epochs": args.epochs,
                       "save_interval": args.epochs, "bf16": True,
                       "input_pipeline": args.pipeline,
+                      "compilation_cache_dir": str(root / "jaxcache"),
                       "lr_scheduler": {"warmup_steps": 100},
                       **(extra or {})},
             "optimizer": {"lr": 1e-3, "betas": [0.9, 0.98],
@@ -86,7 +87,8 @@ def main():
     assert int(state2.step) > int(state.step)
 
     csv = (out / "logs" / "loss.csv").read_text().strip().splitlines()
-    losses = [float(line.split(",")[1]) for line in csv[1:]]
+    col = csv[0].split(",").index("loss")
+    losses = [float(line.split(",")[col]) for line in csv[1:]]
     print(json.dumps({
         "backend": jax.default_backend(),
         "epochs": len(losses), "steps": int(state2.step),
