@@ -64,23 +64,50 @@ def param_partition_spec(path: Tuple[str, ...], leaf) -> P:
     return P()
 
 
+def model_axis_is_host_local(mesh: Mesh) -> bool:
+    """True iff every model-axis group lives on one process — the
+    standard pod layout (data across hosts, model within a host), and
+    the precondition for multi-host TP placement below."""
+    devs = mesh.devices  # [data, model]
+    return all(len({d.process_index for d in row}) == 1 for row in devs)
+
+
+def _place(leaf, sharding: NamedSharding):
+    """Single-process: plain device_put. Multi-process: every host holds
+    the identical full value (PRNG-deterministic init), and with the
+    model axis host-local its addressable shards are slices of that
+    value — exactly what make_array_from_process_local_data expects."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(
+            sharding, jax.device_get(leaf))
+    return jax.device_put(leaf, sharding)
+
+
 def shard_params(params, mesh: Mesh):
-    """device_put each leaf with its TP spec (replicated where P())."""
+    """Place each leaf with its TP spec (replicated where P())."""
+    if jax.process_count() > 1:
+        assert model_axis_is_host_local(mesh), (
+            "multi-host TP needs the model axis within a host "
+            "(data across hosts)")
 
     def place(path, leaf):
         names = tuple(str(getattr(k, "key", k)) for k in path)
         spec = param_partition_spec(names, leaf)
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+        return _place(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
 
 
 def shard_state(state, mesh: Mesh):
     """Apply TP placement to params and matching placement to opt_state
-    (zeros_like trees inherit via re-placement of same-shaped leaves)."""
+    (zeros_like trees inherit via re-placement of same-shaped leaves).
+    Works single- AND multi-process (see _place): with model axis 1 this
+    doubles as the multi-host state replicator."""
     params = shard_params(state.params, mesh)
     replicated = NamedSharding(mesh, P())
-    batch_stats = jax.device_put(state.batch_stats, replicated)
+    batch_stats = jax.tree.map(
+        lambda x: _place(x, replicated), state.batch_stats)
+    step = _place(state.step, replicated)
 
     # optimizer moments mirror the param tree structure; re-place any leaf
     # whose shape matches a param leaf at the same tree position when
@@ -95,9 +122,9 @@ def shard_state(state, mesh: Mesh):
         for plen in range(len(names), 0, -1):
             cand = names[-plen:]
             if cand in flat_params and flat_params[cand].shape == leaf.shape:
-                return jax.device_put(leaf, flat_params[cand].sharding)
-        return jax.device_put(leaf, replicated)
+                return _place(leaf, flat_params[cand].sharding)
+        return _place(leaf, replicated)
 
     opt_state = jax.tree_util.tree_map_with_path(place_opt, state.opt_state)
-    return state.replace(params=params, batch_stats=batch_stats,
+    return state.replace(step=step, params=params, batch_stats=batch_stats,
                          opt_state=opt_state)

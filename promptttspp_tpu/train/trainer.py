@@ -28,7 +28,7 @@ from promptttspp_tpu.data.batching import ShuffleBatchSampler, batch_by_size
 from promptttspp_tpu.data.collate import PromptTTSCollator
 from promptttspp_tpu.data.prefetch import prefetch_batches
 from promptttspp_tpu.parallel.distributed import (
-    host_batches, init_distributed, replicate_global)
+    host_batches, init_distributed)
 from promptttspp_tpu.parallel.mesh import (
     make_mesh, pad_batch_to_multiple, shard_batch)
 from promptttspp_tpu.train import checkpoint as ckpt_lib
@@ -200,14 +200,12 @@ class TTSTrainer:
         else:
             tx = tmp_tx
 
-        if jax.process_count() > 1:
-            # PRNG init is host-deterministic, so every host holds the
-            # same values; lift them to global replicated arrays on the
-            # multi-host mesh so the jitted step sees one logical state.
-            assert mesh.shape["model"] == 1, (
-                "tensor parallelism is single-host for now")
-            state = replicate_global(state, mesh)
-        elif mesh.shape["model"] > 1:
+        if jax.process_count() > 1 or mesh.shape["model"] > 1:
+            # one placement path for DP, TP, and multi-host: TP specs on
+            # the model axis (pure replication when model == 1); in
+            # multi-process runs the PRNG-deterministic host values are
+            # lifted to global arrays (model axis must be host-local —
+            # the standard pod layout, data across hosts)
             from promptttspp_tpu.parallel.tp import shard_state
 
             state = shard_state(state, mesh)

@@ -16,7 +16,9 @@ mode, pid, nproc, port, outdir = (
     sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
     Path(sys.argv[5]))
 
-local_devices = 2 if mode == "multi" else 4
+# modes: multi / single (pure DP), multi_tp / single_tp (data=2, model=2
+# mesh — multi_tp places the model axis within each host)
+local_devices = 2 if mode.startswith("multi") else 4
 os.environ["XLA_FLAGS"] = (
     f"--xla_force_host_platform_device_count={local_devices}")
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -74,11 +76,12 @@ def main():
         "output_dir": str(out),
         "train": {"seed": 0, "num_epochs": 2, "save_interval": 100,
                   "lr_scheduler": {"warmup_steps": 10},
-                  "prompt_pad_to": 16},
+                  "prompt_pad_to": 16,
+                  "mesh": {"model": 2 if mode.endswith("_tp") else 1}},
         "optimizer": {"lr": 1e-3, "betas": [0.9, 0.98], "weight_decay": 0.0},
         "dataset": {"dynamic_batch": True, "max_tokens": 400},
     })
-    if mode == "multi":
+    if mode.startswith("multi"):
         cfg.train.distributed = Config({
             "coordinator_address": f"localhost:{port}",
             "num_processes": nproc,

@@ -75,3 +75,28 @@ def test_two_process_training_matches_single(tmp_path):
 
     # collective orbax checkpoint landed
     assert (tmp_path / "multi" / "ckpt" / "last").exists()
+
+
+@pytest.mark.slow
+def test_two_process_tensor_parallel_training(tmp_path):
+    """Multi-host + TP combined: data axis across the 2 processes, model
+    axis within each host (parallel/tp.py multi-process placement via
+    make_array_from_process_local_data). Numerically equals the
+    single-process (data=2, model=2) run."""
+    port = _free_port()
+    procs = [_run_worker("multi_tp", p, 2, port, tmp_path)
+             for p in range(2)]
+    outs = [p.communicate(timeout=560)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"multi_tp worker failed:\n{out[-3000:]}"
+
+    single = _run_worker("single_tp", 0, 1, 0, tmp_path)
+    out_s = single.communicate(timeout=560)[0]
+    assert single.returncode == 0, f"single_tp worker failed:\n{out_s[-3000:]}"
+
+    r0 = json.loads((tmp_path / "result-multi_tp-0.json").read_text())
+    r1 = json.loads((tmp_path / "result-multi_tp-1.json").read_text())
+    rs = json.loads((tmp_path / "result-single_tp-0.json").read_text())
+    assert r0["checksum"] == pytest.approx(r1["checksum"], rel=1e-12)
+    assert r0["checksum"] == pytest.approx(rs["checksum"], rel=1e-6)
+    assert r0["step"] == rs["step"] > 0
