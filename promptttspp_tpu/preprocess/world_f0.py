@@ -168,7 +168,9 @@ def dio(
 
     # octave-jump fix (FixF0Contour analog): snap voiced frames that sit
     # ~an octave off their local voiced median to the nearest octave
-    # multiple of it
+    # multiple of it; frames that cannot be snapped near the median are
+    # spurious locks (e.g. a formant resonance surviving the highest
+    # channel) and are unvoiced instead
     vi = np.where(f0 > 0)[0]
     if len(vi) >= 5:
         f0v = f0[vi]
@@ -179,11 +181,15 @@ def dio(
             if abs(off) > 0.75:
                 cands = f0[i] * 2.0 ** np.arange(-2, 3)
                 cands = cands[(cands >= f0_floor) & (cands <= f0_ceil)]
+                snapped = False
                 if len(cands):
                     snap = cands[np.argmin(np.abs(np.log2(
                         cands / local_med[j])))]
                     if abs(np.log2(snap / local_med[j])) < 0.3:
                         f0[i] = snap
+                        snapped = True
+                if not snapped:
+                    f0[i] = 0.0
 
     # contour fixing: drop 1-2 frame voiced blips and bridge 1-frame gaps
     voiced = f0 > 0
