@@ -101,9 +101,19 @@ class BatchedFeatureExtractor:
                 n = min(T, len(fi))
                 f0[i, :n], cf0[i, :n], vuv[i, :n] = fi[:n], ci[:n], vi[:n]
         else:
-            f0, vuv = f0_fn(jnp.asarray(padded), jnp.asarray(f0_floor),
-                            jnp.asarray(f0_ceil))
-            cf0 = to_log_scale(interp1d(f0))
+            from promptttspp_tpu.preprocess.world_f0 import fix_f0_contour
+
+            f0_dev, _ = f0_fn(jnp.asarray(padded), jnp.asarray(f0_floor),
+                              jnp.asarray(f0_ceil))
+            # host-side octave contour fix (WORLD FixF0Contour analog) on
+            # the training targets, then vuv/cf0 from the fixed contour
+            floors = np.broadcast_to(np.asarray(f0_floor, np.float32), (B,))
+            ceils = np.broadcast_to(np.asarray(f0_ceil, np.float32), (B,))
+            f0 = np.stack([
+                fix_f0_contour(row, float(floors[i]), float(ceils[i]))
+                for i, row in enumerate(np.asarray(f0_dev))])
+            vuv = (f0 > 0).astype(np.float32)
+            cf0 = np.asarray(to_log_scale(interp1d(jnp.asarray(f0))))
         mel = mel_fn(jnp.asarray(padded))
         f0, vuv, cf0, mel = map(np.asarray, (f0, vuv, cf0, mel))
         out = []

@@ -95,6 +95,39 @@ def _four_interval_tracks(y: np.ndarray, fs: float, frame_times: np.ndarray):
     return out
 
 
+def fix_f0_contour(f0: np.ndarray, f0_floor: float,
+                   f0_ceil: float) -> np.ndarray:
+    """Octave-jump fix (WORLD FixF0Contour analog), shared by DIO and —
+    as an optional host-side post-pass — the YIN pipeline: snap voiced
+    frames that sit ~an octave off their local voiced median to the
+    nearest octave multiple of it; frames that cannot be snapped near
+    the median are spurious locks (e.g. a formant resonance) and are
+    unvoiced instead. Measured effect in tests/test_f0_parity.py /
+    BENCHMARKS.md: octave-error fraction -> ~0 for both estimators."""
+    f0 = np.asarray(f0).copy()
+    vi = np.where(f0 > 0)[0]
+    if len(vi) < 5:
+        return f0
+    f0v = f0[vi]
+    k = min(11, len(f0v) - (1 - len(f0v) % 2))  # odd window
+    local_med = sps.medfilt(f0v, k)
+    for j, i in enumerate(vi):
+        off = np.log2(f0[i] / max(local_med[j], 1e-9))
+        if abs(off) > 0.75:
+            cands = f0[i] * 2.0 ** np.arange(-2, 3)
+            cands = cands[(cands >= f0_floor) & (cands <= f0_ceil)]
+            snapped = False
+            if len(cands):
+                snap = cands[np.argmin(np.abs(np.log2(
+                    cands / local_med[j])))]
+                if abs(np.log2(snap / local_med[j])) < 0.3:
+                    f0[i] = snap
+                    snapped = True
+            if not snapped:
+                f0[i] = 0.0
+    return f0
+
+
 def dio(
     x: np.ndarray,
     fs: int,
@@ -166,30 +199,7 @@ def dio(
     ref_rms = np.percentile(rms, 95)
     f0 = np.where(rms >= 0.1 * ref_rms, f0, 0.0)
 
-    # octave-jump fix (FixF0Contour analog): snap voiced frames that sit
-    # ~an octave off their local voiced median to the nearest octave
-    # multiple of it; frames that cannot be snapped near the median are
-    # spurious locks (e.g. a formant resonance surviving the highest
-    # channel) and are unvoiced instead
-    vi = np.where(f0 > 0)[0]
-    if len(vi) >= 5:
-        f0v = f0[vi]
-        k = min(11, len(f0v) - (1 - len(f0v) % 2))  # odd window
-        local_med = sps.medfilt(f0v, k)
-        for j, i in enumerate(vi):
-            off = np.log2(f0[i] / max(local_med[j], 1e-9))
-            if abs(off) > 0.75:
-                cands = f0[i] * 2.0 ** np.arange(-2, 3)
-                cands = cands[(cands >= f0_floor) & (cands <= f0_ceil)]
-                snapped = False
-                if len(cands):
-                    snap = cands[np.argmin(np.abs(np.log2(
-                        cands / local_med[j])))]
-                    if abs(np.log2(snap / local_med[j])) < 0.3:
-                        f0[i] = snap
-                        snapped = True
-                if not snapped:
-                    f0[i] = 0.0
+    f0 = fix_f0_contour(f0, f0_floor, f0_ceil)
 
     # contour fixing: drop 1-2 frame voiced blips and bridge 1-frame gaps
     voiced = f0 > 0

@@ -157,3 +157,25 @@ def test_pipeline_world_method(tmp_path):
         assert voiced_est.mean() > 0.5  # mostly voiced clip
         med = np.median(feats["f0"][voiced_est])
         assert 100 < med < 140, (method, med)
+
+
+def test_pipeline_yin_contour_fix():
+    """The preprocessing pipeline's YIN path applies the host-side
+    octave contour fix (fix_f0_contour): on a clip where raw YIN shows
+    octave errors, the pipeline's training targets have (near-)none."""
+    from promptttspp_tpu.preprocess.pipeline import BatchedFeatureExtractor
+
+    x, f0_track, voiced = speech_like(seed=5, base=180)
+    ex = BatchedFeatureExtractor(FS, HOP)
+    (feats,) = ex([x.astype(np.float32)], np.float32(60.0),
+                  np.float32(500.0))
+    n = len(feats["f0"])
+    ft, vt = frame_truth(f0_track, voiced, n)
+    m = metrics(feats["f0"], ft, vt)
+    assert m["octave_frac"] <= 0.01, m
+    assert m["vuv"] >= 0.95, m
+    # cf0/vuv must be derived from the FIXED contour
+    v = feats["f0"] > 0
+    np.testing.assert_array_equal(feats["vuv"], v.astype(np.float32))
+    np.testing.assert_allclose(feats["cf0"][v], np.log(feats["f0"][v]),
+                               rtol=1e-5)
