@@ -93,3 +93,33 @@ def test_synthesizer_frame_sharded_mode(model_vars_cond):
     _, mels_b = sharded.synthesize(seqs, prompts=["a", "b"], seed=4)
     for a, b in zip(mels_a, mels_b):
         np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_decode_plms(model_vars_cond):
+    """Frame-sharded decoding also covers the PLMS fast path (multistep
+    scan with an eps-history carry)."""
+    from promptttspp_tpu.models.diffusion import DiffNet, GaussianDiffusion
+
+    model, variables, cond = model_vars_cond
+    plms = GaussianDiffusion(
+        in_dim=32, out_dim=MEL,
+        denoise_fn=DiffNet(in_dim=MEL, encoder_hidden_dim=32,
+                           residual_layers=2, residual_channels=16,
+                           kernel_size=3, dilation_cycle_length=2),
+        K_step=10, schedule_type="linear", norm_scale=6.0,
+        pndm_speedup=5)
+    dec_vars = {"params": variables["params"]["decoder"]}
+    rng = jax.random.PRNGKey(11)
+    mel_ref = plms.apply(dec_vars, cond, rng=rng,
+                         method=GaussianDiffusion.inference)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    mesh = make_mesh()
+    sh = NamedSharding(mesh, P(None, "data", None))
+    cond_sp = jax.device_put(cond, sh)
+    with mesh:
+        mel_sp = jax.jit(lambda v, c, r: plms.apply(
+            v, c, rng=r, method=GaussianDiffusion.inference))(
+            dec_vars, cond_sp, rng)
+    np.testing.assert_allclose(np.asarray(mel_sp), np.asarray(mel_ref),
+                               atol=1e-5, rtol=1e-5)
