@@ -59,9 +59,14 @@ def build_synthesizer(cfg):
     with open(cfg.mel_stats_file) as f:
         mel_stats = yaml.safe_load(f)
     tokenizer = WordPieceTokenizer.from_vocab_file(cfg.path.bert_vocab_file)
+    # multi-chip serving knobs, same surface as synthesize.py:
+    # `+vocoder_mode=sharded +frame_sharded_decode=true`
     return Synthesizer(model, variables, vocoder, voc_vars,
                        mel_stats=mel_stats, tokenizer=tokenizer,
-                       to_mel=to_mel)
+                       to_mel=to_mel,
+                       vocoder_mode=cfg.get("vocoder_mode", "batched"),
+                       frame_sharded_decode=cfg.get(
+                           "frame_sharded_decode", False))
 
 
 def load_wav_24k(path):
