@@ -179,3 +179,33 @@ def test_pipeline_yin_contour_fix():
     np.testing.assert_array_equal(feats["vuv"], v.astype(np.float32))
     np.testing.assert_allclose(feats["cf0"][v], np.log(feats["f0"][v]),
                                rtol=1e-5)
+
+
+def test_f0_edge_cases():
+    """No crashes, sane behavior on degenerate inputs (pure noise,
+    silence, very short clips). The YIN path rejects pure noise via its
+    CMND voicing threshold; the WORLD-style mirror shares the DIO
+    family's known weakness of voicing band-limited noise (pyworld does
+    too), so only finiteness is asserted for it there."""
+    rng = np.random.RandomState(0)
+    noise = rng.randn(FS // 2)
+    f0, cf0, vuv = extract_pitch_world(noise, FS, HOP,
+                                       f0_floor=60.0, f0_ceil=500.0)
+    assert np.isfinite(f0).all() and np.isfinite(cf0).all()
+
+    f0s, _, vuvs = extract_pitch_world(np.zeros(FS // 2), FS, HOP,
+                                       f0_floor=60.0, f0_ceil=500.0)
+    assert (f0s == 0).all()
+
+    f0y, vuvy = extract_f0(noise.astype(np.float32), FS, HOP,
+                           f0_floor=60.0, f0_ceil=500.0)
+    assert float(np.asarray(vuvy).mean()) < 0.5
+    f0z, vuvz = extract_f0(np.zeros(FS // 2, np.float32), FS, HOP,
+                           f0_floor=60.0, f0_ceil=500.0)
+    assert float(np.asarray(f0z).max()) == 0.0
+
+    # short clip (fewer frames than the median-filter window)
+    short, _, _ = speech_like(seed=1, base=150, dur=0.2)
+    f0sh, _, _ = extract_pitch_world(short, FS, HOP,
+                                     f0_floor=60.0, f0_ceil=500.0)
+    assert np.isfinite(f0sh).all()
