@@ -54,6 +54,22 @@ def _vocoder_sr(vocoder, sample_rate):
     return sample_rate or getattr(vocoder, "sampling_rate", None)
 
 
+# jitted sharded-apply per (vocoder, static kwargs): a fresh jax.jit
+# every call would recompile on each synthesis (keyed by id() — the
+# caller owns the vocoder for its lifetime; shape changes retrace within
+# the one cached jit as usual)
+_SHARDED_JIT = {}
+
+
+def _sharded_apply(vocoder, apply_kwargs):
+    key = (id(vocoder), tuple(sorted(apply_kwargs.items())))
+    if key not in _SHARDED_JIT:
+        kw = dict(apply_kwargs)
+        _SHARDED_JIT[key] = jax.jit(
+            lambda v, a, dkw: vocoder.apply(v, *a, **dkw, **kw))
+    return _SHARDED_JIT[key]
+
+
 def vocode_chunked(vocoder, variables, mel, f0=None, chunk_frames: int = 256,
                    halo_frames: int = 16, upsample: int = 240,
                    sample_rate: Optional[int] = None,
@@ -187,9 +203,7 @@ def vocode_sharded(mesh, vocoder, variables, mel, f0=None,
             kwargs["phase0"] = jax.device_put(
                 np.asarray(phase0).reshape(B * n_chunks, 1), shard)
 
-    wav_c = jax.jit(
-        lambda v, a, kw: vocoder.apply(v, *a, **kw, **apply_kwargs))(
-        variables, args, kwargs)
+    wav_c = _sharded_apply(vocoder, apply_kwargs)(variables, args, kwargs)
     h = halo_frames * upsample
     wav_c = wav_c[:, h:h + step * upsample, :]
     wav = wav_c.reshape(B, n_chunks * step * upsample, 1)
