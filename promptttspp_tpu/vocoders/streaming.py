@@ -54,20 +54,21 @@ def _vocoder_sr(vocoder, sample_rate):
     return sample_rate or getattr(vocoder, "sampling_rate", None)
 
 
-# jitted sharded-apply per (vocoder, static kwargs): a fresh jax.jit
-# every call would recompile on each synthesis (keyed by id() — the
-# caller owns the vocoder for its lifetime; shape changes retrace within
-# the one cached jit as usual)
-_SHARDED_JIT = {}
+# jitted vocoder apply per (vocoder, static kwargs), shared by the
+# chunked/streaming/sharded paths: a fresh jax.jit (or eager apply)
+# every call would recompile (or op-by-op dispatch) on each synthesis.
+# Keyed by id() — the caller owns the vocoder for its lifetime; shape
+# changes retrace within the one cached jit as usual.
+_APPLY_JIT = {}
 
 
-def _sharded_apply(vocoder, apply_kwargs):
+def _cached_apply(vocoder, apply_kwargs):
     key = (id(vocoder), tuple(sorted(apply_kwargs.items())))
-    if key not in _SHARDED_JIT:
+    if key not in _APPLY_JIT:
         kw = dict(apply_kwargs)
-        _SHARDED_JIT[key] = jax.jit(
+        _APPLY_JIT[key] = jax.jit(
             lambda v, a, dkw: vocoder.apply(v, *a, **dkw, **kw))
-    return _SHARDED_JIT[key]
+    return _APPLY_JIT[key]
 
 
 def vocode_chunked(vocoder, variables, mel, f0=None, chunk_frames: int = 256,
@@ -96,6 +97,7 @@ def vocode_chunked(vocoder, variables, mel, f0=None, chunk_frames: int = 256,
            + np.arange(win)[None, :])  # [n_chunks, win]
     mel_c = mel_p[:, idx, :].reshape(B * n_chunks, win, M)
     args = (mel_c,)
+    kwargs = {}
     if f0 is not None:
         f0_c = f0_p[:, idx, :].reshape(B * n_chunks, win, 1)
         args = (mel_c, f0_c)
@@ -103,10 +105,9 @@ def vocode_chunked(vocoder, variables, mel, f0=None, chunk_frames: int = 256,
         if sr:
             starts = np.arange(n_chunks) * step
             phase0 = _chunk_phase0(f0_p, starts, halo_frames, upsample, sr)
-            apply_kwargs = dict(apply_kwargs,
-                                phase0=phase0.reshape(B * n_chunks, 1))
+            kwargs["phase0"] = phase0.reshape(B * n_chunks, 1)
 
-    wav_c = vocoder.apply(variables, *args, **apply_kwargs)
+    wav_c = _cached_apply(vocoder, apply_kwargs)(variables, args, kwargs)
     h = halo_frames * upsample
     wav_c = wav_c[:, h:h + step * upsample, :]
     wav = wav_c.reshape(B, n_chunks * step * upsample, 1)
@@ -137,13 +138,8 @@ def vocode_streaming(vocoder, variables, mel, f0=None,
             phase0 = _chunk_phase0(f0_p, starts, halo_frames, upsample, sr)
 
     win = step + 2 * halo_frames
-
-    @jax.jit
-    def run(variables, *chunk_args, **chunk_kwargs):
-        wav = vocoder.apply(variables, *chunk_args, **apply_kwargs,
-                            **chunk_kwargs)
-        h = halo_frames * upsample
-        return wav[:, h:h + step * upsample, :]
+    run = _cached_apply(vocoder, apply_kwargs)
+    h = halo_frames * upsample
 
     for ci in range(n_chunks):
         s = ci * step
@@ -154,7 +150,7 @@ def vocode_streaming(vocoder, variables, mel, f0=None,
                 jax.lax.dynamic_slice_in_dim(f0_p, s, win, axis=1),)
             if phase0 is not None:
                 kwargs["phase0"] = phase0[:, ci:ci + 1]
-        wav = run(variables, *margs, **kwargs)
+        wav = run(variables, margs, kwargs)[:, h:h + step * upsample, :]
         remaining = T * upsample - ci * step * upsample
         if remaining < step * upsample:
             wav = wav[:, :remaining, :]
@@ -203,7 +199,7 @@ def vocode_sharded(mesh, vocoder, variables, mel, f0=None,
             kwargs["phase0"] = jax.device_put(
                 np.asarray(phase0).reshape(B * n_chunks, 1), shard)
 
-    wav_c = _sharded_apply(vocoder, apply_kwargs)(variables, args, kwargs)
+    wav_c = _cached_apply(vocoder, apply_kwargs)(variables, args, kwargs)
     h = halo_frames * upsample
     wav_c = wav_c[:, h:h + step * upsample, :]
     wav = wav_c.reshape(B, n_chunks * step * upsample, 1)
