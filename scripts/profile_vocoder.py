@@ -11,6 +11,10 @@ Usage: python scripts/profile_vocoder.py [frames]
 import sys
 import time
 
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 from promptttspp_tpu.platform import apply_platform_env
 
 apply_platform_env()
