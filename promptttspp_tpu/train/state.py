@@ -28,11 +28,38 @@ class TrainState(flax.struct.PyTreeNode):
     opt_state: Any
 
 
-def bert_freeze_mask(params, num_bert_layers: int = 12) -> Any:
+def _last_bert_layer_name(params) -> Optional[str]:
+    """Highest ``encoder_layer_N`` key anywhere in the tree — the freeze
+    boundary must follow the actual BERT depth, not a config default
+    (a hardcoded 12 silently froze ALL of BERT on any other depth)."""
+    best = -1
+
+    def walk(tree):
+        nonlocal best
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                if k.startswith("encoder_layer_"):
+                    try:
+                        best = max(best, int(k[len("encoder_layer_"):]))
+                    except ValueError:
+                        pass
+                walk(v)
+
+    walk(params)
+    return f"encoder_layer_{best}" if best >= 0 else None
+
+
+def bert_freeze_mask(params, num_bert_layers: Optional[int] = None) -> Any:
     """True = trainable. Freezes prompt_encoder/bert/** except the last
     layer's attention (self + output projection/LayerNorm), mirroring the
-    reference's requires_grad surgery."""
-    last = f"encoder_layer_{num_bert_layers - 1}"
+    reference's requires_grad surgery
+    (`/root/reference/promptttspp/modules/prompt_encoder.py:28-31`).
+    The last layer is derived from the params tree unless an explicit
+    depth is given."""
+    if num_bert_layers is None:
+        last = _last_bert_layer_name(params) or "encoder_layer_-1"
+    else:
+        last = f"encoder_layer_{num_bert_layers - 1}"
     trainable_suffixes = (
         "attention_self", "attention_output_dense", "attention_output_LayerNorm",
     )
@@ -98,13 +125,21 @@ def _cast_floats(tree, dtype):
         else x, tree)
 
 
-def make_train_step(model, tx, donate: bool = True, bf16: bool = False):
+def make_train_step(model, tx, donate: bool = True, bf16: bool = False,
+                    freeze_mask=None):
     """Returns jitted (state, batch, rng) -> (state, metrics).
 
     bf16=True runs compute in bfloat16 with f32 master params (the TPU
     counterpart of the reference's fp16 GradScaler switch,
     `trainers/tts.py:86-92` — no loss scaling needed for bf16). The MDN
     fp32 islands stay fp32 via their explicit casts (mdn_disable_amp).
+
+    freeze_mask (True = trainable) is the reference's requires_grad=False
+    expressed where XLA can USE it: frozen leaves enter the loss under
+    ``stop_gradient``, so the dead backward through the frozen 11.x BERT
+    layers is eliminated at compile time instead of computed and masked
+    to zero in the optimizer (the optax mask remains the authoritative
+    freeze for weight-decay safety).
     """
 
     def train_step(state: TrainState, batch: Dict, rng) -> tuple:
@@ -113,9 +148,13 @@ def make_train_step(model, tx, donate: bool = True, bf16: bool = False):
 
         def loss_fn(params):
             apply_params = params
+            if freeze_mask is not None:
+                apply_params = jax.tree.map(
+                    lambda p, m: p if m else jax.lax.stop_gradient(p),
+                    apply_params, freeze_mask)
             apply_batch = batch
             if bf16:
-                apply_params = _cast_floats(params, jnp.bfloat16)
+                apply_params = _cast_floats(apply_params, jnp.bfloat16)
                 apply_batch = _cast_floats(batch, jnp.bfloat16)
             out, mutated = model.apply(
                 {"params": apply_params, "batch_stats": state.batch_stats},

@@ -184,10 +184,14 @@ class TTSTrainer:
             weight_decay=cfg.select("optimizer.weight_decay", 0.0),
         )
         state = create_train_state(model, model_batch(first), rng, tmp_tx)
+        mask = None
         if self.freeze_bert and self.cfg.select(
                 "model.prompt_encoder._target_"):
-            n_layers = 12
-            mask = bert_freeze_mask(state.params, n_layers)
+            # freeze boundary derived from the params tree, NOT a config
+            # depth: bert_num_layers overrides must keep exactly the last
+            # layer's attention trainable (reference
+            # `modules/prompt_encoder.py:28-31`)
+            mask = bert_freeze_mask(state.params)
             tx = make_optimizer(
                 base_lr=cfg.select("optimizer.lr", 1e-3),
                 warmup_steps=cfg.select(
@@ -226,7 +230,8 @@ class TTSTrainer:
             self.logger.info(f"warm start from {cfg.pretrained}")
 
         train_step = make_train_step(
-            model, tx, bf16=cfg.select("train.bf16", False))
+            model, tx, bf16=cfg.select("train.bf16", False),
+            freeze_mask=mask)
         eval_step = make_eval_step(model)
         step_rng = jax.random.PRNGKey(seed + 1)
 

@@ -216,6 +216,93 @@ def test_bf16_train_step(trained):
     assert leaf.dtype == jnp.float32
 
 
+def test_bert_freeze_mask_follows_tree_depth():
+    """VERDICT r2 #4: the freeze boundary must come from the params tree.
+    With a 2-layer BERT, exactly encoder_layer_1's attention (self +
+    output dense/LayerNorm) is trainable; everything else under bert is
+    frozen; non-bert params all train (reference
+    `modules/prompt_encoder.py:28-31`)."""
+    from promptttspp_tpu.train.state import bert_freeze_mask
+
+    leaf = np.zeros(())
+    layer = lambda: {  # noqa: E731
+        "attention_self": {"query": {"kernel": leaf}},
+        "attention_output_dense": {"kernel": leaf},
+        "attention_output_LayerNorm": {"scale": leaf},
+        "intermediate_dense": {"kernel": leaf},
+        "output_dense": {"kernel": leaf},
+        "output_LayerNorm": {"scale": leaf},
+    }
+    params = {
+        "prompt_encoder": {
+            "bert": {
+                "embeddings_word_embeddings": {"embedding": leaf},
+                "encoder_layer_0": layer(),
+                "encoder_layer_1": layer(),
+            },
+            "conv_0": {"kernel": leaf},
+        },
+        "encoder": {"dense": {"kernel": leaf}},
+    }
+    mask = bert_freeze_mask(params)
+    bert = mask["prompt_encoder"]["bert"]
+    # everything outside bert trains
+    assert mask["encoder"]["dense"]["kernel"] is True
+    assert mask["prompt_encoder"]["conv_0"]["kernel"] is True
+    # layer 0 fully frozen, embeddings frozen
+    assert not any(jax.tree.leaves(bert["encoder_layer_0"]))
+    assert bert["embeddings_word_embeddings"]["embedding"] is False
+    # last layer: exactly the attention sub-block trains
+    l1 = bert["encoder_layer_1"]
+    assert l1["attention_self"]["query"]["kernel"] is True
+    assert l1["attention_output_dense"]["kernel"] is True
+    assert l1["attention_output_LayerNorm"]["scale"] is True
+    assert l1["intermediate_dense"]["kernel"] is False
+    assert l1["output_dense"]["kernel"] is False
+    assert l1["output_LayerNorm"]["scale"] is False
+
+
+def test_freeze_mask_train_step_updates_only_last_attention(trained):
+    """One masked train step on the tiny model (1-layer BERT): frozen
+    BERT leaves bit-identical, last-layer attention leaves updated."""
+    from promptttspp_tpu.data.collate import PromptTTSCollator
+    from promptttspp_tpu.parallel.mesh import make_mesh, shard_batch
+    from promptttspp_tpu.train.state import (
+        bert_freeze_mask, make_optimizer, make_train_step)
+    from promptttspp_tpu.train.trainer import model_batch
+
+    trainer, state, out, cfg = trained
+    model = tiny_model()
+    mask = bert_freeze_mask(state.params)
+    tx = make_optimizer(warmup_steps=10, freeze_mask=mask)
+    state = state.replace(opt_state=tx.init(state.params))
+    step = make_train_step(model, tx, donate=False, freeze_mask=mask)
+    ds = SyntheticDataset(8, 3)
+    batch = PromptTTSCollator(tokenizer=TokenHashTokenizer())(
+        [ds[i] for i in range(8)])
+    mesh = make_mesh()
+    with mesh:
+        sharded = shard_batch(model_batch(batch), mesh)
+        new_state, _ = step(state, sharded, jax.random.PRNGKey(0))
+
+    flat_old = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    flat_new = jax.tree.leaves(new_state.params)
+    flat_mask = jax.tree.leaves(mask)
+    assert len(flat_old) == len(flat_new) == len(flat_mask)
+    n_frozen = n_trained_bert = 0
+    for (path, old), new, m in zip(flat_old, flat_new, flat_mask):
+        keys = [getattr(p, "key", "") for p in path]
+        in_bert = "prompt_encoder" in keys and "bert" in keys
+        if not m:
+            np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+            n_frozen += 1
+        elif in_bert:
+            assert not np.array_equal(np.asarray(old), np.asarray(new)), \
+                f"trainable BERT leaf did not update: {keys}"
+            n_trained_bert += 1
+    assert n_frozen > 0 and n_trained_bert > 0
+
+
 def test_emergency_checkpoint_on_crash(tmp_path):
     """A mid-epoch failure must persist a crash checkpoint before
     re-raising (SURVEY §5.3; trainer.run's failure handler)."""
