@@ -59,18 +59,32 @@ def batch_by_size(
 
 class ShuffleBatchSampler:
     """Shuffles the precomputed batch list each epoch
-    (`datasets/utils.py:23-42`), with seedable randomness."""
+    (`datasets/utils.py:23-42`), with seedable randomness.
+
+    The per-epoch order is a pure function of (seed, epoch) via
+    :meth:`set_epoch` — torch's ``DistributedSampler.set_epoch``
+    semantics done right — so a run resumed at epoch k replays exactly
+    the order a continuous run would have used (the reference re-seeds
+    its sampler on resume and silently replays epoch-1's order,
+    `trainers/tts.py:195-196`; this class is our fix, tested in
+    tests/test_data.py)."""
 
     def __init__(self, batches: List[List[int]], shuffle: bool = True,
                  seed: Optional[int] = None):
         self.batches = batches
         self.shuffle = shuffle
-        self.rng = _random.Random(seed)
+        self.seed = 0 if seed is None else int(seed)
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = int(epoch)
 
     def __iter__(self):
         batches = list(self.batches)
         if self.shuffle:
-            self.rng.shuffle(batches)
+            # mix seed and epoch into one deterministic stream id
+            _random.Random(self.seed * 1_000_003 + self.epoch).shuffle(
+                batches)
         return iter(batches)
 
     def __len__(self):

@@ -15,6 +15,7 @@ Differences by design (SURVEY.md §5.8):
 from __future__ import annotations
 
 import logging
+import os
 import random
 import time
 from pathlib import Path
@@ -45,6 +46,28 @@ MODEL_BATCH_KEYS = (
 
 def model_batch(batch: Dict) -> Dict:
     return {k: batch[k] for k in MODEL_BATCH_KEYS if k in batch}
+
+
+def _auto_input_pipeline(ds) -> str:
+    """Pick the input-pipeline mode for this host (VERDICT r2 #5):
+    async "prefetch" when there are spare cores for its workers,
+    otherwise inline assembly — with the C++ feature loader when it is
+    built and the dataset exposes file-backed item metadata."""
+    from promptttspp_tpu.data import native_loader
+
+    cores = os.cpu_count() or 1
+    native_ok = (native_loader.available() and hasattr(ds, "item_meta")
+                 and getattr(ds, "stats", None) is not None)
+    if cores >= 4:
+        return "prefetch"
+    return "sync_native" if native_ok else "sync"
+
+
+@jax.jit
+def _metric_add(acc: Dict, metrics: Dict) -> Dict:
+    """Single-dispatch device-side accumulation of the step's scalar
+    metrics (keeps the hot loop free of host syncs)."""
+    return jax.tree.map(lambda a, m: a + m, acc, metrics)
 
 
 def seed_everything(seed: int):
@@ -259,13 +282,16 @@ class TTSTrainer:
             try:
                 ckpt_lib.save_checkpoint(
                     self.ckpt_dir / "crash",
-                    getattr(self, "_last_state", state), epoch=-1)
+                    getattr(self, "_last_state", state), epoch=-1,
+                    block=True)
                 self.logger.exception(
                     "training failed; emergency checkpoint -> "
                     f"{self.ckpt_dir / 'crash'}")
             except Exception:  # pragma: no cover
                 self.logger.exception("emergency checkpoint also failed")
             raise
+        # join the final epoch's async checkpoint before returning
+        ckpt_lib.wait_until_finished()
         return state
 
     def _sync_batches(self, sampler, collator, mesh, n_data, ds=None,
@@ -306,15 +332,30 @@ class TTSTrainer:
         #   "sync_native"   inline + C++ loader (GIL-free IO threads;
         #                   best on core-constrained hosts)
         # train.prefetch=false is honored as "sync" for back-compat.
-        pipeline = cfg.select(
-            "train.input_pipeline",
-            "prefetch" if cfg.select("train.prefetch", True) else "sync")
+        # When neither knob is set, the mode is auto-selected for the
+        # host: async prefetch needs spare cores to run its workers on
+        # (on a 1-2 core host the workers fight the dispatch thread and
+        # invert, BENCHMARKS.md epoch table), so core-constrained hosts
+        # get the inline path with the GIL-free C++ loader when usable.
+        pipeline = cfg.select("train.input_pipeline")
+        if pipeline is None:
+            if cfg.select("train.prefetch") is not None:
+                pipeline = "prefetch" if cfg.select("train.prefetch") \
+                    else "sync"
+            else:
+                pipeline = _auto_input_pipeline(self.train_ds)
+                self.logger.info(
+                    f"input pipeline auto-selected: {pipeline} "
+                    f"({os.cpu_count()} host cores)")
         num_workers = cfg.select("train.num_workers", 8)
         prefetch_depth = cfg.select("train.prefetch_depth", 3)
         n_proc = jax.process_count()
         local_pad = n_data // n_proc  # rows this host pads to
         with mesh:
             for epoch in range(start_epoch, num_epochs + 1):
+                # order is a pure function of (seed, epoch): resumed and
+                # continuous runs see identical data order (VERDICT r2 #8)
+                sampler.set_epoch(epoch)
                 tracker.reset()
                 t0 = time.time()
                 n_frames = 0
@@ -336,6 +377,12 @@ class TTSTrainer:
                     loader = self._sync_batches(
                         epoch_sampler, collator, mesh, local_pad,
                         native=(pipeline == "sync_native"))
+                # metrics accumulate ON DEVICE (one async scalar-add
+                # dispatch per step); the only host sync is the single
+                # readback at epoch end — a per-step float() would block
+                # the dispatch pipeline on every step's device round-trip
+                metric_sums = None
+                n_steps = 0
                 for batch, sharded in loader:
                     n_frames += int(np.sum(batch["frame_lengths"]))
                     if profile_steps and global_step == profile_steps:
@@ -348,8 +395,12 @@ class TTSTrainer:
                         jax.profiler.stop_trace()
                         self.logger.info(f"profile trace -> {profile_dir}")
                     global_step += 1
-                    tracker.update(
-                        {k: float(v) for k, v in metrics.items()})
+                    n_steps += 1
+                    metric_sums = metrics if metric_sums is None \
+                        else _metric_add(metric_sums, metrics)
+                if metric_sums is not None:
+                    tracker.update({k: float(v) / n_steps
+                                    for k, v in metric_sums.items()})
                 dt = time.time() - t0
                 avgs = tracker.averages()
                 fps = n_frames / max(dt, 1e-9)

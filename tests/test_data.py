@@ -36,6 +36,29 @@ def test_shuffle_batch_sampler_deterministic():
     assert sorted(x[0] for x in s1) == [1, 2, 3, 4]
 
 
+def test_shuffle_batch_sampler_epoch_pure():
+    """Order is a pure function of (seed, epoch) — a sampler that jumps
+    straight to epoch k (resume) sees the exact order one that iterated
+    epochs 1..k (continuous run) sees (VERDICT r2 #8)."""
+    batches = [[i] for i in range(32)]
+    cont = ShuffleBatchSampler(list(batches), seed=7)
+    orders = {}
+    for ep in range(1, 4):
+        cont.set_epoch(ep)
+        orders[ep] = list(iter(cont))
+    resumed = ShuffleBatchSampler(list(batches), seed=7)
+    resumed.set_epoch(3)
+    assert list(iter(resumed)) == orders[3]
+    # epochs genuinely differ and permute the same set
+    assert orders[1] != orders[2] != orders[3]
+    for ep in orders:
+        assert sorted(x[0] for x in orders[ep]) == list(range(32))
+    # different seed -> different stream
+    other = ShuffleBatchSampler(list(batches), seed=8)
+    other.set_epoch(3)
+    assert list(iter(other)) != orders[3]
+
+
 def test_bucket_shape():
     assert bucket_shape(17, 16) == 32
     assert bucket_shape(16, 16) == 16

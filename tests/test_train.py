@@ -179,15 +179,34 @@ def test_resume_continues(trained, tmp_path):
     from promptttspp_tpu.train.trainer import TTSTrainer
 
     trainer, state, out, cfg = trained
+
+    class RecordingDataset(SyntheticDataset):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.accesses = []
+
+        def __getitem__(self, i):
+            self.accesses.append(int(i))
+            return super().__getitem__(i)
+
+    ds2 = RecordingDataset(24)
     cfg2 = Config(dict(cfg))
     cfg2.output_dir = str(tmp_path)
     cfg2.ckpt_path = str(out / "ckpt" / "last")
     trainer2 = TTSTrainer(
-        cfg2, train_ds=SyntheticDataset(24), valid_ds=None,
+        cfg2, train_ds=ds2, valid_ds=None,
         tokenizer=TokenHashTokenizer(), model=tiny_model(),
         freeze_bert=False)
     state2 = trainer2.run(num_epochs=3)  # resumes at epoch 3
     assert int(state2.step) > int(state.step)
+
+    # resume determinism (VERDICT r2 #8): the resumed run's epoch-3 data
+    # order must equal the (seed, epoch)-pure sampler order a continuous
+    # run would use at epoch 3
+    expected_sampler = trainer2._batches(ds2, True, 0, 8)
+    expected_sampler.set_epoch(3)
+    expected = [i for b in expected_sampler for i in b]
+    assert ds2.accesses[-len(expected):] == expected
 
 
 def test_bf16_train_step(trained):
@@ -214,6 +233,21 @@ def test_bf16_train_step(trained):
     assert np.isfinite(float(metrics["loss"]))
     leaf = jax.tree.leaves(new_state.params)[0]
     assert leaf.dtype == jnp.float32
+
+
+def test_auto_input_pipeline(monkeypatch):
+    """Unset knobs pick the measured-fastest mode for the host: async
+    prefetch only when there are spare cores for its workers; inline
+    (with the C++ loader when usable) otherwise (VERDICT r2 #5)."""
+    from promptttspp_tpu.train import trainer as tr
+
+    ds = SyntheticDataset(4)
+    monkeypatch.setattr(tr.os, "cpu_count", lambda: 8)
+    assert tr._auto_input_pipeline(ds) == "prefetch"
+    monkeypatch.setattr(tr.os, "cpu_count", lambda: 1)
+    # synthetic in-memory dataset has no file-backed item metadata, so
+    # the inline path must not claim the native loader
+    assert tr._auto_input_pipeline(ds) == "sync"
 
 
 def test_bert_freeze_mask_follows_tree_depth():
