@@ -18,7 +18,8 @@ from promptttspp_tpu.platform import apply_platform_env  # noqa: E402
 
 apply_platform_env()
 
-from promptttspp_tpu.config import compose, instantiate  # noqa: E402
+from promptttspp_tpu.config import (  # noqa: E402
+    apply_hydra_runtime, compose, instantiate)
 from promptttspp_tpu.text import eng  # noqa: E402
 
 PUNCT_TO_SIL = {",", ".", "!", "?", ";"}
@@ -87,7 +88,9 @@ def load_wav_24k(path):
 
 
 def main():
-    cfg = compose(REPO / "conf", "demo", overrides=sys.argv[1:])
+    cfg = compose(REPO / "conf", "demo", overrides=sys.argv[1:],
+                  drop_hydra_node=False)
+    apply_hydra_runtime(cfg)  # hydra.run.dir / job_logging semantics
     synth = build_synthesizer(cfg)
 
     def synthesize(content, style_prompt=None, reference_wav_path=None):

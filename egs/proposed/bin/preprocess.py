@@ -13,11 +13,14 @@ from promptttspp_tpu.platform import apply_platform_env  # noqa: E402
 
 apply_platform_env()
 
-from promptttspp_tpu.config import compose  # noqa: E402
+from promptttspp_tpu.config import (  # noqa: E402
+    apply_hydra_runtime, compose)
 
 
 def main():
-    cfg = compose(REPO / "conf", "preprocess", overrides=sys.argv[1:])
+    cfg = compose(REPO / "conf", "preprocess", overrides=sys.argv[1:],
+                  drop_hydra_node=False)
+    apply_hydra_runtime(cfg)  # hydra.run.dir / job_logging semantics
     import yaml
 
     from promptttspp_tpu.preprocess.pipeline import preprocess_corpus

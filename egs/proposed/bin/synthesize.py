@@ -20,7 +20,8 @@ from promptttspp_tpu.platform import apply_platform_env  # noqa: E402
 
 apply_platform_env()
 
-from promptttspp_tpu.config import compose, instantiate  # noqa: E402
+from promptttspp_tpu.config import (  # noqa: E402
+    apply_hydra_runtime, compose, instantiate)
 
 
 def load_variables(path, kind="model", cfg=None):
@@ -104,7 +105,9 @@ def load_reference_mel(synth, cfg, spk, utt):
 
 
 def main():
-    cfg = compose(REPO / "conf", "synthesize", overrides=sys.argv[1:])
+    cfg = compose(REPO / "conf", "synthesize", overrides=sys.argv[1:],
+                  drop_hydra_node=False)
+    apply_hydra_runtime(cfg)  # hydra.run.dir / job_logging semantics
 
     import pandas as pd
 

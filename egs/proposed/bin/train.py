@@ -17,11 +17,14 @@ from promptttspp_tpu.platform import apply_platform_env  # noqa: E402
 
 apply_platform_env()
 
-from promptttspp_tpu.config import compose  # noqa: E402
+from promptttspp_tpu.config import (  # noqa: E402
+    apply_hydra_runtime, compose)
 
 
 def main():
-    cfg = compose(REPO / "conf", "train", overrides=sys.argv[1:])
+    cfg = compose(REPO / "conf", "train", overrides=sys.argv[1:],
+                  drop_hydra_node=False)
+    apply_hydra_runtime(cfg)  # hydra.run.dir / job_logging semantics
 
     from promptttspp_tpu.models.bert import WordPieceTokenizer
     from promptttspp_tpu.train.trainer import TTSTrainer

@@ -15,7 +15,11 @@ compose identically here:
 - interpolation: ``${a.b}`` absolute from root; ``${.k}`` sibling,
   ``${..k}`` parent-level, etc. (OmegaConf relative semantics). A value
   that is exactly one interpolation keeps the referent's type.
-- a top-level ``hydra:`` node is accepted and ignored (job plumbing).
+- a top-level ``hydra:`` node: ``apply_hydra_runtime`` honors the
+  ``hydra.run.dir`` / ``hydra.output_subdir`` / ``hydra.job_logging``
+  subset the reference configs use (chdir into the run dir, optional
+  composed-config snapshot, log format) — entry points opt in;
+  ``compose`` alone still treats it as inert data and drops it.
 """
 
 from __future__ import annotations
@@ -286,16 +290,59 @@ def compose(
     return cfg
 
 
+def apply_hydra_runtime(cfg: Config) -> Optional[Config]:
+    """Honor the ``hydra.*`` job plumbing the reference configs carry
+    (`/root/reference/egs/proposed/bin/conf/train.yaml:10-19` etc.),
+    matching ``@hydra.main(version_base=None)`` behavior for the subset
+    used there:
+
+    - ``hydra.run.dir``: created and chdir'd into, so the job's relative
+      output paths (``output_dir: ./out``) land inside the run dir —
+      CLI-overridable via ``hydra.run.dir=...``;
+    - ``hydra.output_subdir``: unless null, the composed config is
+      snapshotted to ``<run.dir>/<output_subdir>/config.yaml``;
+    - ``hydra.job_logging``: the ``simple`` formatter's format string is
+      applied to newly-attached root handlers via ``logging.basicConfig``.
+
+    Pops and returns the hydra node (None when absent). Compose with
+    ``drop_hydra_node=False`` to use this."""
+    import logging
+    import os
+
+    node = cfg.pop("hydra", None)
+    if node is None:
+        return None
+    node = Config(node)
+    fmt = node.select("job_logging.formatters.simple.format")
+    if fmt:
+        logging.basicConfig(format=fmt)
+    run_dir = node.select("run.dir")
+    if run_dir:
+        run_dir = Path(run_dir)
+        run_dir.mkdir(parents=True, exist_ok=True)
+        os.chdir(run_dir)
+    subdir = node.select("output_subdir")
+    if subdir:
+        out = Path(subdir)
+        out.mkdir(parents=True, exist_ok=True)
+        (out / "config.yaml").write_text(cfg.to_yaml())
+    return node
+
+
 def main(config_path: str, config_name: str):
-    """Decorator mirroring ``@hydra.main``: parses ``sys.argv`` overrides,
-    composes, and calls the wrapped function with the config."""
+    """Decorator mirroring ``@hydra.main(version_base=None)``: parses
+    ``sys.argv`` overrides, composes, applies the hydra.* runtime
+    semantics (run dir, logging), and calls the wrapped function with
+    the config."""
 
     def deco(fn):
         @functools.wraps(fn)
         def wrapper():
             import sys
 
-            cfg = compose(config_path, config_name, overrides=sys.argv[1:])
+            cfg = compose(config_path, config_name, overrides=sys.argv[1:],
+                          drop_hydra_node=False)
+            apply_hydra_runtime(cfg)
             return fn(cfg)
 
         return wrapper
