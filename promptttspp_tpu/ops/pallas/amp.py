@@ -34,6 +34,26 @@ from jax.experimental.pallas import tpu as pltpu
 from promptttspp_tpu.vocoders.activations import kaiser_sinc_filter1d
 
 
+def _pack_offset_taps(taps, pack: int, C: int):
+    """taps: [(sample_offset, [C, C] weight)] -> (W2 [k2, 128, 128],
+    q_min). Generalized lane-packing: output phase r reads input sample
+    r + o, which lives at packed row q = (r+o) // P, lane block
+    s = (r+o) % P; every tap lands in a dense [128, 128] block matrix so
+    the whole FIR/conv is k2 row-shifted MXU matmuls."""
+    P = pack
+    offs = [o for o, _ in taps]
+    q_min = min((0 + min(offs)) // P, 0)
+    q_max = max(((P - 1) + max(offs)) // P, 0)
+    k2 = q_max - q_min + 1
+    w2 = np.zeros((k2, P * C, P * C), np.float32)
+    for r in range(P):
+        for o, w in taps:
+            t = r + o
+            q, s = t // P, t % P
+            w2[q - q_min, s * C:(s + 1) * C, r * C:(r + 1) * C] += w
+    return jnp.asarray(w2), q_min
+
+
 def _pack_conv_weight(w, pack: int, dilation: int):
     """[k, C, C] -> (W2 [k2, 128, 128], q_min, q_stride). Same math as
     ops/packed_conv.packed_conv1d.
@@ -45,6 +65,7 @@ def _pack_conv_weight(w, pack: int, dilation: int):
     P = pack
     if P == 1:
         return w, -((k - 1) // 2) * dilation, max(dilation, 1)
+    # traced (w is a jitted model weight) — mirrors _pack_offset_taps
     c_half = (k - 1) // 2 * dilation
     q_min = (-c_half) // P
     q_max = ((P - 1) + c_half) // P
@@ -59,10 +80,30 @@ def _pack_conv_weight(w, pack: int, dilation: int):
     return w2, q_min, 1
 
 
-def _kernel(x_hbm, a1_ref, a2_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
-            scratch, sem, *, rows: int, halo: int, p: int, c: int,
+def _pack_fir(weights, offsets, pack: int, C: int):
+    """Per-channel FIR (scalar weight per sample offset) as packed block
+    matmuls: weight o is ``w * I_C``."""
+    eye = np.eye(C, dtype=np.float32)
+    return _pack_offset_taps(
+        [(o, float(w) * eye) for w, o in zip(weights, offsets)], pack, C)
+
+
+def _kernel(x_hbm, a1_ref, a2_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest,
+            rows: int, halo: int, p: int, c: int,
             n_time: int, q1_min: int, k2_1: int, q1_stride: int,
-            q2_min: int, k2_2: int, q2_stride: int, mxu_bf16: bool):
+            q2_min: int, k2_2: int, q2_stride: int, mxu_bf16: bool,
+            fir_meta=None, ablate: str = ""):
+    # fir_meta != None (p > 1): the four antialias FIRs arrive as packed
+    # [k2, 128, 128] block matrices and run on the MXU — the tap/roll
+    # formulation costs ~100 cross-lane pltpu.rolls per layer and is
+    # what kept the C=32/64 stages ~50x off their HBM roofline
+    if fir_meta is not None:
+        (fue_ref, fuo_ref, fde_ref, fdo_ref, out_ref, scratch,
+         sem) = rest
+        (que_min, k2_ue, quo_min, k2_uo, qde_min, k2_de, qdo_min,
+         k2_do) = fir_meta
+    else:
+        out_ref, scratch, sem = rest
     b = pl.program_id(0)
     t_idx = pl.program_id(1)
     R, H = rows, halo
@@ -103,17 +144,28 @@ def _kernel(x_hbm, a1_ref, a2_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
     def antialias(arr, alpha):
         a = jnp.exp(alpha)
         inv_a = 1.0 / (a + 1e-9)
-        arrp = padded(arr)
-        u_even = even_w[0] * tap(arrp, -3)
-        u_odd = odd_w[0] * tap(arrp, -2)
-        for i in range(1, 6):
-            u_even = u_even + even_w[i] * tap(arrp, i - 3)
-            u_odd = u_odd + odd_w[i] * tap(arrp, i - 2)
-        s_even = u_even + inv_a * jnp.square(jnp.sin(u_even * a))
-        s_odd = u_odd + inv_a * jnp.square(jnp.sin(u_odd * a))
+        if fir_meta is not None:
+            u_even = conv(arr, fue_ref, None, que_min, k2_ue, 1)
+            u_odd = conv(arr, fuo_ref, None, quo_min, k2_uo, 1)
+        else:
+            arrp = padded(arr)
+            u_even = even_w[0] * tap(arrp, -3)
+            u_odd = odd_w[0] * tap(arrp, -2)
+            for i in range(1, 6):
+                u_even = u_even + even_w[i] * tap(arrp, i - 3)
+                u_odd = u_odd + odd_w[i] * tap(arrp, i - 2)
+        if "snake" in ablate:
+            s_even, s_odd = u_even, u_odd
+        else:
+            s_even = u_even + inv_a * jnp.square(jnp.sin(u_even * a))
+            s_odd = u_odd + inv_a * jnp.square(jnp.sin(u_odd * a))
 
         # global s-edge replication: samples < 0 read s[0], > T-1 read
         # s[2T-1] (= s_odd at sample T-1)
+        if "edge" in ablate:
+            if fir_meta is not None:
+                return (conv(s_odd, fde_ref, None, qde_min, k2_de, 1)
+                        + conv(s_even, fdo_ref, None, qdo_min, k2_do, 1))
         d_first = jnp.clip((0 - (t0 - H * p)) // p, 0, S - 1)
         d_last = jnp.clip((n_time - 1 - (t0 - H * p)) // p, 0, S - 1)
         sf = jnp.sum(jnp.where(rows_i == d_first, s_even, 0.0), axis=0,
@@ -135,6 +187,9 @@ def _kernel(x_hbm, a1_ref, a2_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
         s_even = jnp.where(qg > n_time - 1, accl, s_even)
         s_odd = jnp.where(qg > n_time - 1, accl, s_odd)
 
+        if fir_meta is not None:
+            return (conv(s_odd, fde_ref, None, qde_min, k2_de, 1)
+                    + conv(s_even, fdo_ref, None, qdo_min, k2_do, 1))
         sep = padded(s_even)
         sop = padded(s_odd)
         y = float(f[0]) * tap(sop, -3)
@@ -186,23 +241,29 @@ def _kernel(x_hbm, a1_ref, a2_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
             acc = acc + jnp.dot(
                 arrp[o: o + S, :], w_ref[i].astype(dt),
                 preferred_element_type=jnp.float32)
-        return acc + b_ref[0, :]
+        return acc if b_ref is None else acc + b_ref[0, :]
 
-    h1 = zero_outside(antialias(xt, a1_ref[0, :].astype(jnp.float32)))
-    c1 = replicate_outside(
-        conv(h1, w1_ref, b1_ref, q1_min, k2_1, q1_stride))
-    h2 = zero_outside(antialias(c1, a2_ref[0, :].astype(jnp.float32)))
-    c2 = conv(h2, w2_ref, b2_ref, q2_min, k2_2, q2_stride)
+    if "edge" in ablate:  # profiling ablations (scripts/profile_amp_kernel)
+        zo = ro = lambda arr: arr
+    else:
+        zo, ro = zero_outside, replicate_outside
+    cv = ((lambda arr, w, b, qm, k2, st: arr) if "conv" in ablate
+          else conv)
+    aa = ((lambda arr, alpha: arr) if "aa" in ablate else antialias)
+    h1 = zo(aa(xt, a1_ref[0, :].astype(jnp.float32)))
+    c1 = ro(cv(h1, w1_ref, b1_ref, q1_min, k2_1, q1_stride))
+    h2 = zo(aa(c1, a2_ref[0, :].astype(jnp.float32)))
+    c2 = cv(h2, w2_ref, b2_ref, q2_min, k2_2, q2_stride)
     out = xt + c2
     out_ref[0] = out[H: H + R, :].astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("dilation", "tile", "interpret",
-                                    "mxu_bf16"))
+                                    "mxu_bf16", "ablate"))
 def fused_amp_layer(x, alpha1, w1, b1, alpha2, w2, b2, dilation: int,
                     tile: int = 0, interpret: bool = False,
-                    mxu_bf16: bool = False):
+                    mxu_bf16: bool = False, ablate: str = ""):
     """One fused AMPLayer: x [B, T, C] (C in {16, 32, 64, 128}),
     alpha* [C], w1 [k, C, C] (dilated), w2 [k, C, C] (dilation 1),
     b* [C] -> [B, T, C]. Equals
@@ -233,14 +294,33 @@ def fused_amp_layer(x, alpha1, w1, b1, alpha2, w2, b2, dilation: int,
     R = tile // p
     n_tiles = Tp // tile
 
+    # p > 1: the four antialias FIRs (up-even/up-odd before snake,
+    # down-from-odd/down-from-even after) as packed MXU block matrices —
+    # pure (p, C) constants built from the kaiser-sinc filter
+    extra_in, extra_specs, fir_meta = [], [], None
+    if p > 1:
+        f = np.asarray(kaiser_sinc_filter1d(0.25, 0.3, 12), np.float32)
+        even_w = [2.0 * float(f[2 * i]) for i in range(6)]
+        odd_w = [2.0 * float(f[2 * i + 1]) for i in range(6)]
+        FUE, que_min = _pack_fir(even_w, [i - 3 for i in range(6)], p, C)
+        FUO, quo_min = _pack_fir(odd_w, [i - 2 for i in range(6)], p, C)
+        FDE, qde_min = _pack_fir([float(f[2 * j]) for j in range(6)],
+                                 [j - 3 for j in range(6)], p, C)
+        FDO, qdo_min = _pack_fir([float(f[2 * j + 1]) for j in range(6)],
+                                 [j - 2 for j in range(6)], p, C)
+        extra_in = [FUE, FUO, FDE, FDO]
+        fir_meta = (que_min, FUE.shape[0], quo_min, FUO.shape[0],
+                    qde_min, FDE.shape[0], qdo_min, FDO.shape[0])
+
     vspec = lambda shape: pl.BlockSpec(
         shape, lambda b, t: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    extra_specs = [vspec(m.shape) for m in extra_in]
     out = pl.pallas_call(
         functools.partial(
             _kernel, rows=R, halo=H, p=p, c=C, n_time=T,
             q1_min=q1_min, k2_1=W1.shape[0], q1_stride=q1_stride,
             q2_min=q2_min, k2_2=W2.shape[0], q2_stride=q2_stride,
-            mxu_bf16=mxu_bf16),
+            mxu_bf16=mxu_bf16, fir_meta=fir_meta, ablate=ablate),
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * R, 128), x.dtype),
         grid=(B, n_tiles),
         in_specs=[
@@ -248,7 +328,7 @@ def fused_amp_layer(x, alpha1, w1, b1, alpha2, w2, b2, dilation: int,
             vspec((1, 128)), vspec((1, 128)),
             vspec(W1.shape), vspec((1, 128)),
             vspec(W2.shape), vspec((1, 128)),
-        ],
+        ] + extra_specs,
         out_specs=pl.BlockSpec((1, R, 128), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -257,5 +337,6 @@ def fused_amp_layer(x, alpha1, w1, b1, alpha2, w2, b2, dilation: int,
         ],
         interpret=interpret,
     )(xf, jnp.tile(alpha1, p)[None, :], jnp.tile(alpha2, p)[None, :],
-      W1, jnp.tile(b1, p)[None, :], W2, jnp.tile(b2, p)[None, :])
+      W1, jnp.tile(b1, p)[None, :], W2, jnp.tile(b2, p)[None, :],
+      *extra_in)
     return out.reshape(B, Tp, C)[:, :T, :]
