@@ -127,13 +127,30 @@ def main():
     audio_sec = B * MAX_FRAMES * HOP / SR  # padded synthesis = real compute
     rtf = wall / audio_sec
 
-    # single-request latency: one dispatch to completion readback
+    # single-request latency: one dispatch to completion readback.
+    # On a tunneled backend that includes a fixed host<->device RTT that
+    # no serving stack would pay on-host; measure it with a null program
+    # (same dispatch + scalar readback, ~zero compute) and report both.
     lat = float(np.median([run_block(1) for _ in range(5)]))
     lat_rtf = lat / audio_sec
+
+    null = jax.jit(lambda z: z + 1.0)
+    zv = jnp.zeros((8, 128), jnp.float32)
+    float(jnp.sum(null(zv)))  # compile
+    def null_block():
+        t0 = time.perf_counter()
+        float(jnp.sum(null(zv)))
+        return time.perf_counter() - t0
+    null_rtt = float(np.median([null_block() for _ in range(7)]))
+    dev_rtf = max(lat - null_rtt, 0.0) / audio_sec
     print(json.dumps({
         "metric": "text2wav_latency_rtf", "value": round(lat_rtf, 6),
         "unit": "rtf", "batch": B,
-        "note": "single request, incl. device F0 lowpass + dispatch",
+        "device_latency_rtf": round(dev_rtf, 6),
+        "null_dispatch_ms": round(null_rtt * 1e3, 2),
+        "note": "single request dispatch->readback; device_latency_rtf "
+                "subtracts the measured null-program round-trip "
+                "(tunnel/transport cost, not device or host-serving time)",
     }), file=sys.stderr)
 
     target = 0.01

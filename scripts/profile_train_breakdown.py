@@ -1,0 +1,170 @@
+"""Train-step component breakdown on the current backend (VERDICT r2 #2).
+
+Methodology: the tunneled backend adds ~1.2 ms of dispatch overhead per
+jit call (measured: a trivial x+1 on 20 MB "costs" 1.4 ms/call), so each
+component is timed by the REP-N MARGINAL — one jit applying the
+component N times to perturbed inputs vs once; (tN - t1)/(N-1) cancels
+dispatch and fixed-cost terms. The full train step is timed directly
+(its cost >> dispatch).
+
+Usage: python scripts/profile_train_breakdown.py [B] [Tp] [Tf]
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from promptttspp_tpu.platform import apply_platform_env
+
+apply_platform_env()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timed(fn, *args, iters=10, reps=3):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+        ts.append((time.perf_counter() - t0) / iters)
+    return float(np.median(ts)) * 1e3
+
+
+def marginal(make_fn, params, x, n=4, **kw):
+    t1 = timed(make_fn(1), params, x, **kw)
+    tn = timed(make_fn(n), params, x, **kw)
+    return (tn - t1) / (n - 1), t1
+
+
+def rep_grad(apply_fn, n):
+    """jit of: sum of n applications to slightly-perturbed inputs,
+    grads wrt params (fwd+bwd marginal)."""
+
+    @jax.jit
+    def f(params, x):
+        def loss(p):
+            tot = 0.0
+            for i in range(n):
+                xi = jax.tree.map(
+                    lambda a: a + 1e-6 * i if jnp.issubdtype(
+                        a.dtype, jnp.floating) else a, x)
+                out = apply_fn(p, xi)
+                tot = tot + jnp.sum(
+                    jax.tree_util.tree_leaves(out)[0].astype(jnp.float32))
+            return tot
+        return jax.grad(loss)(params)
+    return f
+
+
+def rep_fwd(apply_fn, n):
+    @jax.jit
+    def f(params, x):
+        tot = 0.0
+        for i in range(n):
+            xi = jax.tree.map(
+                lambda a: a + 1e-6 * i if jnp.issubdtype(
+                    a.dtype, jnp.floating) else a, x)
+            out = apply_fn(params, xi)
+            tot = tot + jnp.sum(
+                jax.tree_util.tree_leaves(out)[0].astype(jnp.float32))
+        return tot
+    return f
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    Tp = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    Tf = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+
+    from promptttspp_tpu.flagship import (
+        build_flagship_model, example_batch, init_flagship)
+    from promptttspp_tpu.train.state import (
+        bert_freeze_mask, create_train_state, make_optimizer,
+        make_train_step)
+
+    model = build_flagship_model()
+    batch = {k: jnp.asarray(v)
+             for k, v in example_batch(B=B, Tp=Tp, Tf=Tf, L=32).items()}
+    rng = jax.random.PRNGKey(0)
+
+    tx = make_optimizer()
+    state = create_train_state(model, batch, rng, tx)
+    mask = bert_freeze_mask(state.params)
+    tx = make_optimizer(freeze_mask=mask)
+    state = state.replace(opt_state=tx.init(state.params))
+    frames = B * Tf
+
+    print(f"flagship train step  B={B} Tp={Tp} Tf={Tf} "
+          f"({frames} padded mel frames/step)")
+    for bf16 in (False, True):
+        for fz, fzmask in (("nofreeze", None), ("freeze+sg", mask)):
+            step = make_train_step(model, tx, donate=False, bf16=bf16,
+                                   freeze_mask=fzmask)
+            t = timed(step, state, batch, rng, iters=10)
+            print(f"  full step bf16={int(bf16)} {fz:>9}: {t:7.2f} ms "
+                  f"({frames / t * 1e3:,.0f} frames/s)")
+
+    # ---- components (rep-N marginal, fwd+bwd unless noted) ----
+    p = state.params
+    C = 256
+
+    # DiffNet single denoise call (the training decoder step)
+    dn = model.decoder.denoise_fn
+    xw = {"x": jnp.zeros((B, Tf, 80)), "c": jnp.zeros((B, Tf, C)),
+          "t": jnp.zeros((B,), jnp.int32)}
+    dn_params = {"params": p["decoder"]["denoise_fn"]}
+
+    def dn_apply(prm, xi):
+        return dn.apply(prm, xi["x"], xi["t"], xi["c"])
+
+    m, t1 = marginal(lambda n: rep_grad(dn_apply, n), dn_params, xw)
+    print(f"  diffnet fwd+bwd:   {m:7.2f} ms/call (1-call jit {t1:.2f})")
+
+    # Conformer encoder
+    enc_params = {"params": p["encoder"]}
+    xe = {"x": jnp.zeros((B, Tp, C)),
+          "l": jnp.full((B,), Tp, jnp.int32)}
+
+    def enc_apply(prm, xi):
+        return model.encoder.apply(prm, xi["x"], xi["l"], train=False)
+
+    m, t1 = marginal(lambda n: rep_grad(enc_apply, n), enc_params, xe)
+    print(f"  conformer fwd+bwd: {m:7.2f} ms/call (1-call jit {t1:.2f})")
+
+    # BERT prompt encoder
+    pe_params = {"params": p["prompt_encoder"]}
+    xp = {"ids": batch["prompt_ids"], "mask": batch["prompt_mask"],
+          "z": jnp.zeros((1,))}
+
+    def pe_apply(prm, xi):
+        return model.prompt_encoder.apply(prm, xi["ids"], xi["mask"],
+                                          train=False)
+
+    m, t1 = marginal(lambda n: rep_fwd(pe_apply, n), pe_params, xp)
+    print(f"  bert fwd only:     {m:7.2f} ms/call (1-call jit {t1:.2f})")
+    m, t1 = marginal(lambda n: rep_grad(pe_apply, n), pe_params, xp)
+    print(f"  bert fwd+bwd:      {m:7.2f} ms/call (1-call jit {t1:.2f})")
+
+    # GST reference encoder
+    re_params = {"params": p["reference_encoder"]}
+    xr = {"mel": batch["mel"], "l": batch["frame_lengths"]}
+
+    def re_apply(prm, xi):
+        return model.reference_encoder.apply(prm, xi["mel"], xi["l"],
+                                             train=False)
+
+    m, t1 = marginal(lambda n: rep_grad(re_apply, n), re_params, xr)
+    print(f"  gst fwd+bwd:       {m:7.2f} ms/call (1-call jit {t1:.2f})")
+
+
+if __name__ == "__main__":
+    main()

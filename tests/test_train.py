@@ -65,7 +65,11 @@ class TokenHashTokenizer:
         return ids, mask
 
 
-def tiny_model():
+def tiny_model(dropout: bool = True):
+    """dropout=False zeroes every dropout rate — used by padding tests
+    to isolate BatchNorm batch-stat effects from dropout-draw shape
+    dependence."""
+    dr = (lambda r: r) if dropout else (lambda r: 0.0)
     from promptttspp_tpu.models.bert import BertConfig
     from promptttspp_tpu.models.diffusion import DiffNet, GaussianDiffusion
     from promptttspp_tpu.models.frame_prior import FramePriorNetwork
@@ -84,22 +88,22 @@ def tiny_model():
         encoder=ConformerEncoder(
             idim=C, attention_dim=C, attention_heads=2, linear_units=64,
             num_blocks=1, positionwise_layer_type="conv1d",
-            positionwise_conv_kernel_size=9, dropout_rate=0.1,
+            positionwise_conv_kernel_size=9, dropout_rate=dr(0.1),
             pos_enc_layer_type="rel_pos",
             selfattention_layer_type="rel_selfattn", macaron_style=True,
             use_cnn_module=True, cnn_module_kernel=7, rel_pos_type="new"),
         variance_adaptor=VarianceAdaptor(
             duration_predictor=MDNPredictor(
-                channels=C, out_channels=1, kernel_size=3, dropout=0.5,
+                channels=C, out_channels=1, kernel_size=3, dropout=dr(0.5),
                 num_layers=1, num_gaussians=2, dim_wise=True, detach=True,
                 disable_amp=True),
             pitch_predictor=Predictor(
-                channels=C, out_channels=2, kernel_size=5, dropout=0.5,
+                channels=C, out_channels=2, kernel_size=5, dropout=dr(0.5),
                 num_layers=2, detach=False),
             pitch_emb=PitchEmb(1, C, 1),
             frame_prior_network=FramePriorNetwork(
                 out_channels=C, hidden_channels=C, n_layers=1,
-                kernel_size=17, p_dropout=0.1)),
+                kernel_size=17, p_dropout=dr(0.1))),
         reference_encoder=StyleEncoder(
             idim=MEL, gst_tokens=4, gst_heads=2, conv_layers=2,
             conv_chans_list=(4, 8), conv_kernel_size=3, conv_stride=2,
@@ -109,7 +113,8 @@ def tiny_model():
             bert_config=BertConfig(
                 vocab_size=64, hidden_size=32, num_hidden_layers=1,
                 num_attention_heads=2, intermediate_size=32,
-                max_position_embeddings=32)),
+                max_position_embeddings=32,
+                hidden_dropout=dr(0.1), attention_dropout=dr(0.1))),
         style_mdn=MDNLayer(in_dim=C, out_dim=C, num_gaussians=2,
                            dim_wise=True),
         decoder=GaussianDiffusion(
