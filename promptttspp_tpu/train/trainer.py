@@ -199,33 +199,27 @@ class TTSTrainer:
         first = pad_batch_to_multiple(first, n_data)
 
         rng = jax.random.PRNGKey(seed)
-        # build optimizer after params exist (freeze mask needs the tree)
-        tmp_tx = make_optimizer(
+        tx = make_optimizer(
             base_lr=cfg.select("optimizer.lr", 1e-3),
             warmup_steps=cfg.select("train.lr_scheduler.warmup_steps", 4000),
             betas=tuple(cfg.select("optimizer.betas", [0.9, 0.98])),
             weight_decay=cfg.select("optimizer.weight_decay", 0.0),
         )
-        state = create_train_state(model, model_batch(first), rng, tmp_tx)
+        state = create_train_state(model, model_batch(first), rng, tx)
         mask = None
         if self.freeze_bert and self.cfg.select(
                 "model.prompt_encoder._target_"):
             # freeze boundary derived from the params tree, NOT a config
             # depth: bert_num_layers overrides must keep exactly the last
             # layer's attention trainable (reference
-            # `modules/prompt_encoder.py:28-31`)
+            # `modules/prompt_encoder.py:28-31`). The freeze is
+            # structural: opt_state covers the trainable subtree only
+            # (no optimizer traffic/memory for the frozen 110M params).
             mask = bert_freeze_mask(state.params)
-            tx = make_optimizer(
-                base_lr=cfg.select("optimizer.lr", 1e-3),
-                warmup_steps=cfg.select(
-                    "train.lr_scheduler.warmup_steps", 4000),
-                betas=tuple(cfg.select("optimizer.betas", [0.9, 0.98])),
-                weight_decay=cfg.select("optimizer.weight_decay", 0.0),
-                freeze_mask=mask,
-            )
-            state = state.replace(opt_state=tx.init(state.params))
-        else:
-            tx = tmp_tx
+            from promptttspp_tpu.train.state import split_params
+
+            state = state.replace(
+                opt_state=tx.init(split_params(state.params, mask)[0]))
 
         if jax.process_count() > 1 or mesh.shape["model"] > 1:
             # one placement path for DP, TP, and multi-host: TP specs on

@@ -99,22 +99,30 @@ def main():
     tx = make_optimizer()
     state = create_train_state(model, batch, rng, tx)
     mask = bert_freeze_mask(state.params)
-    tx = make_optimizer(freeze_mask=mask)
-    state = state.replace(opt_state=tx.init(state.params))
+    from promptttspp_tpu.train.state import split_params
+    state = state.replace(
+        opt_state=tx.init(split_params(state.params, mask)[0]))
     frames = B * Tf
+
+    only = sys.argv[4] if len(sys.argv) > 4 else ""
 
     print(f"flagship train step  B={B} Tp={Tp} Tf={Tf} "
           f"({frames} padded mel frames/step)")
-    for bf16 in (False, True):
-        for fz, fzmask in (("nofreeze", None), ("freeze+sg", mask)):
+    full_state = state.replace(opt_state=tx.init(state.params))
+    for bf16 in ((False, True) if only in ("", "step") else ()):
+        for fz, fzmask, st in (("nofreeze", None, full_state),
+                               ("freeze+sg", mask, state)):
             step = make_train_step(model, tx, donate=False, bf16=bf16,
                                    freeze_mask=fzmask)
-            t = timed(step, state, batch, rng, iters=10)
+            t = timed(step, st, batch, rng, iters=10)
             print(f"  full step bf16={int(bf16)} {fz:>9}: {t:7.2f} ms "
                   f"({frames / t * 1e3:,.0f} frames/s)")
 
+    if only == "step":
+        return
     # ---- components (rep-N marginal, fwd+bwd unless noted) ----
     p = state.params
+    bs = state.batch_stats
     C = 256
 
     # DiffNet single denoise call (the training decoder step)
@@ -130,7 +138,8 @@ def main():
     print(f"  diffnet fwd+bwd:   {m:7.2f} ms/call (1-call jit {t1:.2f})")
 
     # Conformer encoder
-    enc_params = {"params": p["encoder"]}
+    enc_params = {"params": p["encoder"],
+                  "batch_stats": bs.get("encoder", {})}
     xe = {"x": jnp.zeros((B, Tp, C)),
           "l": jnp.full((B,), Tp, jnp.int32)}
 
@@ -155,7 +164,8 @@ def main():
     print(f"  bert fwd+bwd:      {m:7.2f} ms/call (1-call jit {t1:.2f})")
 
     # GST reference encoder
-    re_params = {"params": p["reference_encoder"]}
+    re_params = {"params": p["reference_encoder"],
+                  "batch_stats": bs.get("reference_encoder", {})}
     xr = {"mel": batch["mel"], "l": batch["frame_lengths"]}
 
     def re_apply(prm, xi):
