@@ -51,13 +51,17 @@ class PromptTTSMDNDurCFG(nn.Module):
     mdn_disable_amp: bool = False
     loss_dec_scale: float = 8.0
 
-    def _encode_phones(self, phoneme, phone_lengths, train):
-        """[B,Tp] ids -> [B,Tp,C] encoder output."""
+    def _encode_phones(self, phoneme, phone_lengths, train,
+                       row_weight=None):
+        """[B,Tp] ids -> [B,Tp,C] encoder output. row_weight [B] or
+        None: weight-0 (padded) rows are excluded from the conformer
+        conv module's BatchNorm batch statistics."""
         Tp = phoneme.shape[1]
         phone_mask = sequence_mask(phone_lengths, Tp)  # bool [B,Tp]
         pmask = phone_mask[:, :, None].astype(jnp.float32)
         x = self.phoneme_embedding(phoneme, pmask)
-        x = self.encoder(x, phone_lengths, train=train)
+        x = self.encoder(x, phone_lengths, train=train,
+                         row_weight=row_weight)
         return x, phone_mask
 
     def _style_from_prompt_dist(self, log_pi, log_sigma, mu, use_max,
@@ -98,12 +102,14 @@ class PromptTTSMDNDurCFG(nn.Module):
             w = jnp.ones((phoneme.shape[0],), jnp.float32)
         w_b11 = w[:, None, None].astype(jnp.float32)
 
-        x, phone_mask = self._encode_phones(phoneme, phone_lengths, train)
+        x, phone_mask = self._encode_phones(phoneme, phone_lengths, train,
+                                            row_weight=w)
         Tf = mel.shape[1]
         frame_mask = sequence_mask(frame_lengths, Tf)
         fmask = frame_mask[:, :, None].astype(jnp.float32) * w_b11
 
-        style_emb = self.reference_encoder(mel, frame_lengths, train=train)
+        style_emb = self.reference_encoder(mel, frame_lengths, train=train,
+                                           row_weight=w)
         prompt_emb = self.prompt_encoder(prompt_ids, prompt_mask, train=train)
         if self.norm_style_emb:
             style_emb = _l2_normalize(style_emb, axis=-1)

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from promptttspp_tpu.nn.attention import GSTCrossAttention
 from promptttspp_tpu.nn.gru import GRU
+from promptttspp_tpu.nn.layers import WeightedBatchNorm
 
 
 class ReferenceEncoder(nn.Module):
@@ -51,7 +52,8 @@ class ReferenceEncoder(nn.Module):
             for i in range(self.conv_layers)
         ]
         self._bns = [
-            nn.BatchNorm(momentum=0.9, epsilon=1e-5, name=f"convs_{3 * i + 1}")
+            WeightedBatchNorm(momentum=0.9, epsilon=1e-5,
+                              name=f"convs_{3 * i + 1}")
             for i in range(self.conv_layers)
         ]
         gru_in = self.idim
@@ -62,13 +64,17 @@ class ReferenceEncoder(nn.Module):
         gru_in *= self.conv_chans_list[-1]
         self.gru = GRU(gru_in, self.gru_units, self.gru_layers, name="gru")
 
-    def __call__(self, speech, in_lens=None, train: bool = False):
-        """speech [B, Tf, idim] -> [B, gru_units]."""
+    def __call__(self, speech, in_lens=None, train: bool = False,
+                 row_weight=None):
+        """speech [B, Tf, idim] -> [B, gru_units]. row_weight [B] float
+        or None: weight-0 rows (device-count padding) are excluded from
+        the BatchNorm batch statistics (WeightedBatchNorm)."""
         B, Tf, _ = speech.shape
         h = speech[..., None]  # NHWC: [B, Tf, idim, 1]
         for conv, bn in zip(self._convs, self._bns):
             h = conv(h)
-            h = bn(h, use_running_average=not train)
+            h = bn(h, use_running_average=not train,
+                   row_weight=row_weight)
             h = nn.relu(h)
         # [B, Tf', idim', C] -> [B, Tf', idim'*C]; torch flattens
         # (C, idim') with C-major after its transpose(1,2) of NCHW.
@@ -143,7 +149,9 @@ class StyleEncoder(nn.Module):
             name="stl",
         )
 
-    def __call__(self, speech, in_lens=None, train: bool = False):
-        ref = self.ref_enc(speech, in_lens, train=train)
+    def __call__(self, speech, in_lens=None, train: bool = False,
+                 row_weight=None):
+        ref = self.ref_enc(speech, in_lens, train=train,
+                           row_weight=row_weight)
         style = self.stl(ref, deterministic=not train)
         return style[:, None, :]  # [B, 1, C]

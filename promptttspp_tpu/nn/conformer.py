@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from promptttspp_tpu.nn import attention as attn_mod
 from promptttspp_tpu.nn import embedding as emb_mod
-from promptttspp_tpu.nn.layers import conv1d, layer_norm, swish
+from promptttspp_tpu.nn.layers import (
+    WeightedBatchNorm, conv1d, layer_norm, swish)
 from promptttspp_tpu.ops.masks import sequence_mask
 
 
@@ -38,8 +39,10 @@ class ConvolutionModule(nn.Module):
     kernel_size: int
 
     @nn.compact
-    def __call__(self, x, mask, train: bool = False):
-        """x [B,T,C]; mask [B,T,1] float."""
+    def __call__(self, x, mask, train: bool = False, row_weight=None):
+        """x [B,T,C]; mask [B,T,1] float; row_weight [B] float or None —
+        rows with weight 0 (device-count padding) are excluded from the
+        BatchNorm batch statistics (see WeightedBatchNorm)."""
         x = conv1d(2 * self.channels, 1, name="pointwise_conv1")(x) * mask
         a, b = jnp.split(x, 2, axis=-1)
         x = a * nn.sigmoid(b)  # GLU over channel dim
@@ -47,10 +50,9 @@ class ConvolutionModule(nn.Module):
             self.channels, self.kernel_size, groups=self.channels,
             name="depthwise_conv",
         )(x) * mask
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            name="norm",
-        )(x)
+        x = WeightedBatchNorm(
+            momentum=0.9, epsilon=1e-5, name="norm",
+        )(x, use_running_average=not train, row_weight=row_weight)
         x = swish(x)
         return conv1d(self.channels, 1, name="pointwise_conv2")(x) * mask
 
@@ -161,9 +163,11 @@ class EncoderLayer(nn.Module):
             self.norm_final = layer_norm("norm_final")
         self.dropout = nn.Dropout(self.dropout_rate)
 
-    def __call__(self, x, pos_emb, attn_mask, mask_, train: bool = False):
+    def __call__(self, x, pos_emb, attn_mask, mask_, train: bool = False,
+                 row_weight=None):
         """x [B,T,C]; pos_emb [1,P,C] or None; attn_mask bool [B,T,T];
-        mask_ float [B,T,1]."""
+        mask_ float [B,T,1]; row_weight [B] float or None (BatchNorm
+        row exclusion, see ConvolutionModule)."""
         det = not train
         ff_scale = 0.5 if self.macaron_style else 1.0
 
@@ -188,7 +192,9 @@ class EncoderLayer(nn.Module):
             residual = x
             xn = self.norm_conv(x)
             x = residual + self.dropout(
-                self.conv_module(xn, mask_, train=train), deterministic=det) * mask_
+                self.conv_module(xn, mask_, train=train,
+                                 row_weight=row_weight),
+                deterministic=det) * mask_
 
         residual = x
         xn = self.norm_ff(x)
@@ -268,7 +274,8 @@ class Encoder(nn.Module):
         if self.normalize_before:
             self.after_norm = layer_norm("after_norm")
 
-    def __call__(self, x, attn_mask, mask_, train: bool = False):
+    def __call__(self, x, attn_mask, mask_, train: bool = False,
+                 row_weight=None):
         """x [B,T,idim]; attn_mask bool [B,T,T]; mask_ float [B,T,1]."""
         det = not train
         if self.input_layer == "linear":
@@ -280,7 +287,8 @@ class Encoder(nn.Module):
             x = self.pos_enc(x, deterministic=det)
             pos_emb = None
         for layer in self.encoders:
-            x = layer(x, pos_emb, attn_mask, mask_, train=train)
+            x = layer(x, pos_emb, attn_mask, mask_, train=train,
+                      row_weight=row_weight)
         if self.normalize_before:
             x = self.after_norm(x)
         return x
@@ -349,13 +357,15 @@ class ConformerEncoder(nn.Module):
     def out_dim(self):
         return self.attention_dim
 
-    def __call__(self, emb, input_lens, train: bool = False):
+    def __call__(self, emb, input_lens, train: bool = False,
+                 row_weight=None):
         """emb [B, T, idim]; input_lens [B] -> [B, T, attention_dim]."""
         T = emb.shape[1]
         non_pad = sequence_mask(input_lens, T)  # [B, T] bool
         attn_mask = non_pad[:, None, :] & non_pad[:, :, None]  # [B, T, T]
         mask_ = non_pad[:, :, None].astype(emb.dtype)  # [B, T, 1]
-        outs = self.encoder(emb, attn_mask, mask_, train=train)
+        outs = self.encoder(emb, attn_mask, mask_, train=train,
+                            row_weight=row_weight)
         outs = outs * mask_
         if self.return_mask:
             return outs, mask_

@@ -16,6 +16,7 @@ keep the parameter tree flat.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -71,3 +72,71 @@ class ChannelLayerNorm(nn.Module):
         var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
         y = (x - mean) * jnp.reciprocal(jnp.sqrt(var + self.eps))
         return y * gamma + beta
+
+
+class WeightedBatchNorm(nn.Module):
+    """``nn.BatchNorm`` semantics plus an optional per-row weight that
+    EXCLUDES rows from the batch statistics (mean/var and the running
+    EMA). Same parameter (``scale``/``bias``) and ``batch_stats``
+    (``mean``/``var``) layout as ``nn.BatchNorm`` so checkpoints and the
+    torch converter are unaffected.
+
+    Why: the reference trains ``BatchNorm1d/2d`` on whole batches and
+    simply DROPS batches not divisible by the world size
+    (`/root/reference/promptttspp/trainers/tts.py:138-142`), so padded
+    rows never exist there. Our ``pad_batch_to_multiple`` rows carry
+    ``batch_weight == 0``; passing that as ``row_weight`` keeps the
+    batch statistics identical to the unpadded batch (padded TIME frames
+    of real rows still enter, matching the reference's unmasked
+    BatchNorm semantics). ``row_weight=None`` is the plain flax formula
+    (mean / mean-of-squares over all non-channel axes, float32 stats,
+    ``lax.rsqrt`` normalizer)."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    use_running_average: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None,
+                 row_weight=None):
+        use_ra = nn.merge_param(
+            "use_running_average", self.use_running_average,
+            use_running_average)
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,))
+        bias = self.param("bias", nn.initializers.zeros, (feat,))
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((feat,), jnp.float32))
+
+        if use_ra:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            if row_weight is None:
+                mean = jnp.mean(xf, axes)
+                mean2 = jnp.mean(jnp.square(xf), axes)
+            else:
+                w = row_weight.astype(jnp.float32).reshape(
+                    (-1,) + (1,) * (x.ndim - 1))
+                # frames per row = product of the non-batch, non-channel
+                # axes; every surviving row contributes all of them
+                per_row = 1
+                for d in x.shape[1:-1]:
+                    per_row *= d
+                n = jnp.sum(w) * per_row
+                mean = jnp.sum(xf * w, axes) / n
+                mean2 = jnp.sum(jnp.square(xf) * w, axes) / n
+            var = mean2 - jnp.square(mean)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * var)
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(
+            var + self.epsilon)
+        return (y * scale + bias).astype(x.dtype)
