@@ -120,6 +120,44 @@ def main():
 
     if only == "step":
         return
+
+    # ---- phase decomposition: fwd / +bwd / +optimizer ----
+    # fwd-only: the train-mode loss computation alone
+    if only in ("", "parts"):
+        import optax
+
+        @jax.jit
+        def fwd(params, bstats, b, r):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": bstats}, b, train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": r,
+                      "diffusion": jax.random.fold_in(r, 1),
+                      "style": jax.random.fold_in(r, 2)})
+            return out["loss"]
+
+        t_f = timed(fwd, state.params, state.batch_stats, batch, rng)
+        print(f"  fwd only (loss):   {t_f:7.2f} ms")
+
+        # fwd+bwd+apply, optimizer replaced by scale(0): the A-B delta
+        # vs the full step is the clip+AdamW(m/v) cost
+        null_tx = optax.scale(0.0)
+        from promptttspp_tpu.train.state import split_params as _sp
+        st0 = state.replace(opt_state=null_tx.init(
+            _sp(state.params, mask)[0]))
+        step0 = make_train_step(model, null_tx, donate=False,
+                                freeze_mask=mask)
+        t_g = timed(step0, st0, batch, rng, iters=10)
+        print(f"  fwd+bwd+apply (null opt): {t_g:7.2f} ms "
+              f"(bwd ~ {t_g - t_f:.2f})")
+        step_full2 = make_train_step(model, tx, donate=False,
+                                     freeze_mask=mask)
+        t_a = timed(step_full2, state, batch, rng, iters=10)
+        print(f"  full step:         {t_a:7.2f} ms "
+              f"(clip+AdamW m/v ~ {t_a - t_g:.2f})")
+
+    if only == "parts":
+        return
     # ---- components (rep-N marginal, fwd+bwd unless noted) ----
     p = state.params
     bs = state.batch_stats
@@ -162,6 +200,21 @@ def main():
     print(f"  bert fwd only:     {m:7.2f} ms/call (1-call jit {t1:.2f})")
     m, t1 = marginal(lambda n: rep_grad(pe_apply, n), pe_params, xp)
     print(f"  bert fwd+bwd:      {m:7.2f} ms/call (1-call jit {t1:.2f})")
+
+    # Variance adaptor (duration MDN + frame prior + F0/VUV predictors)
+    va_params = {"params": p["variance_adaptor"]}
+    pm = jnp.ones((B, Tp), bool)
+    fm = jnp.ones((B, Tf), bool)
+    xv = {"x": jnp.zeros((B, Tp, C)), "dur": batch["duration"],
+          "cf0": batch["log_cf0"], "vuv": batch["vuv"]}
+
+    def va_apply(prm, xi):
+        return model.variance_adaptor.apply(
+            prm, xi["x"], pm, fm, xi["dur"], xi["cf0"], xi["vuv"], None,
+            train=False)
+
+    m, t1 = marginal(lambda n: rep_grad(va_apply, n), va_params, xv)
+    print(f"  var-adaptor fwd+bwd: {m:5.2f} ms/call (1-call jit {t1:.2f})")
 
     # GST reference encoder
     re_params = {"params": p["reference_encoder"],
