@@ -372,9 +372,14 @@ class TTSTrainer:
                         epoch_sampler, collator, mesh, local_pad,
                         native=(pipeline == "sync_native"))
                 # metrics accumulate ON DEVICE (one async scalar-add
-                # dispatch per step); the only host sync is the single
-                # readback at epoch end — a per-step float() would block
-                # the dispatch pipeline on every step's device round-trip
+                # dispatch per step); the only host syncs are a cheap
+                # scalar readback every host_sync_every steps (bounds
+                # Python's async-dispatch run-ahead — without it a whole
+                # epoch of steps can queue, pinning their input buffers
+                # and inflating device memory) and the per-epoch metric
+                # readback — a per-step float() would block the dispatch
+                # pipeline on every step's device round-trip
+                host_sync_every = cfg.select("train.host_sync_every", 64)
                 metric_sums = None
                 n_steps = 0
                 for batch, sharded in loader:
@@ -383,6 +388,9 @@ class TTSTrainer:
                         jax.profiler.start_trace(profile_dir)
                     state, metrics = train_step(state, sharded, step_rng)
                     self._last_state = state
+                    if host_sync_every and n_steps % host_sync_every == \
+                            host_sync_every - 1:
+                        float(np.asarray(metrics["loss"]).sum())
                     if profile_steps and global_step == profile_steps + 3:
                         jax.tree.map(
                             lambda x: x.block_until_ready(), metrics)

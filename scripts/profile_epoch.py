@@ -176,7 +176,11 @@ def main():
         for batch, dev in loader:
             n_frames += int(np.sum(batch["frame_lengths"]))
             state, metrics = train_step(state, dev, rng)
-        jax.tree.map(lambda x: x.block_until_ready(), metrics)
+        # block_until_ready does NOT block over the tunneled backend;
+        # only a device->host readback drains the dispatch queue. The
+        # last step's metrics chain through state, so reading one leaf
+        # proves every step of the epoch completed.
+        float(np.asarray(jax.tree_util.tree_leaves(metrics)[0]).sum())
         return n_frames
 
     def sync_loader():
