@@ -51,7 +51,7 @@ def _pack_offset_taps(taps, pack: int, C: int):
             t = r + o
             q, s = t // P, t % P
             w2[q - q_min, s * C:(s + 1) * C, r * C:(r + 1) * C] += w
-    return jnp.asarray(w2), q_min
+    return w2, q_min
 
 
 def _pack_conv_weight(w, pack: int, dilation: int):
@@ -98,10 +98,8 @@ def _kernel(x_hbm, a1_ref, a2_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest,
     # formulation costs ~100 cross-lane pltpu.rolls per layer and is
     # what kept the C=32/64 stages ~50x off their HBM roofline
     if fir_meta is not None:
-        (fue_ref, fuo_ref, fde_ref, fdo_ref, out_ref, scratch,
-         sem) = rest
-        (que_min, k2_ue, quo_min, k2_uo, qde_min, k2_de, qdo_min,
-         k2_do) = fir_meta
+        fup_ref, fdn_ref, out_ref, scratch, sem = rest
+        qu_min, k2_u, qd_min, k2_d = fir_meta
     else:
         out_ref, scratch, sem = rest
     b = pl.program_id(0)
@@ -145,8 +143,17 @@ def _kernel(x_hbm, a1_ref, a2_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest,
         a = jnp.exp(alpha)
         inv_a = 1.0 / (a + 1e-9)
         if fir_meta is not None:
-            u_even = conv(arr, fue_ref, None, que_min, k2_ue, 1)
-            u_odd = conv(arr, fuo_ref, None, quo_min, k2_uo, 1)
+            # both up-FIRs as ONE [128, 256] matmul pass (outputs
+            # lane-concatenated: [u_even | u_odd]) — halves the MXU pass
+            # count vs separate even/odd FIRs
+            u = conv(arr, fup_ref, None, qu_min, k2_u, 1)
+            if "snake" not in ablate:
+                # 2-D lane concat (Mosaic rejects 1-D vector concat)
+                a2 = jnp.concatenate([a[None, :], a[None, :]], axis=1)
+                inv2 = jnp.concatenate(
+                    [inv_a[None, :], inv_a[None, :]], axis=1)
+                u = u + inv2 * jnp.square(jnp.sin(u * a2))
+            s_even, s_odd = u[:, :128], u[:, 128:]
         else:
             arrp = padded(arr)
             u_even = even_w[0] * tap(arrp, -3)
@@ -154,18 +161,18 @@ def _kernel(x_hbm, a1_ref, a2_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest,
             for i in range(1, 6):
                 u_even = u_even + even_w[i] * tap(arrp, i - 3)
                 u_odd = u_odd + odd_w[i] * tap(arrp, i - 2)
-        if "snake" in ablate:
-            s_even, s_odd = u_even, u_odd
-        else:
-            s_even = u_even + inv_a * jnp.square(jnp.sin(u_even * a))
-            s_odd = u_odd + inv_a * jnp.square(jnp.sin(u_odd * a))
+            if "snake" in ablate:
+                s_even, s_odd = u_even, u_odd
+            else:
+                s_even = u_even + inv_a * jnp.square(jnp.sin(u_even * a))
+                s_odd = u_odd + inv_a * jnp.square(jnp.sin(u_odd * a))
 
         # global s-edge replication: samples < 0 read s[0], > T-1 read
         # s[2T-1] (= s_odd at sample T-1)
         if "edge" in ablate:
             if fir_meta is not None:
-                return (conv(s_odd, fde_ref, None, qde_min, k2_de, 1)
-                        + conv(s_even, fdo_ref, None, qdo_min, k2_do, 1))
+                return conv(jnp.concatenate([s_odd, s_even], axis=1),
+                            fdn_ref, None, qd_min, k2_d, 1)
         d_first = jnp.clip((0 - (t0 - H * p)) // p, 0, S - 1)
         d_last = jnp.clip((n_time - 1 - (t0 - H * p)) // p, 0, S - 1)
         sf = jnp.sum(jnp.where(rows_i == d_first, s_even, 0.0), axis=0,
@@ -188,8 +195,10 @@ def _kernel(x_hbm, a1_ref, a2_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest,
         s_odd = jnp.where(qg > n_time - 1, accl, s_odd)
 
         if fir_meta is not None:
-            return (conv(s_odd, fde_ref, None, qde_min, k2_de, 1)
-                    + conv(s_even, fdo_ref, None, qdo_min, k2_do, 1))
+            # both down-FIRs as ONE [256, 128] matmul pass (inputs
+            # lane-concatenated [s_odd | s_even])
+            return conv(jnp.concatenate([s_odd, s_even], axis=1),
+                        fdn_ref, None, qd_min, k2_d, 1)
         sep = padded(s_even)
         sop = padded(s_odd)
         y = float(f[0]) * tap(sop, -3)
@@ -226,9 +235,10 @@ def _kernel(x_hbm, a1_ref, a2_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest,
         return jnp.where(qg > n_time - 1, accl, arr)
 
     def conv(arr, w_ref, b_ref, q_min, k2, stride):
-        # row pad covering the q range
+        # row pad covering the q range; arr may be [S, 128] or [S, 256]
+        # (merged even/odd FIR passes), w_ref [k2, arr_lanes, out_lanes]
         m = max(-q_min, q_min + (k2 - 1) * stride, 1)
-        z = jnp.zeros((m, 128), arr.dtype)
+        z = jnp.zeros((m, arr.shape[1]), arr.dtype)
         arrp = jnp.concatenate([z, arr, z], axis=0)
         # jax's default matmul precision on TPU is bf16; mxu_bf16 applies
         # the same trade here (4x MXU throughput), f32 accumulation
@@ -296,7 +306,11 @@ def fused_amp_layer(x, alpha1, w1, b1, alpha2, w2, b2, dilation: int,
 
     # p > 1: the four antialias FIRs (up-even/up-odd before snake,
     # down-from-odd/down-from-even after) as packed MXU block matrices —
-    # pure (p, C) constants built from the kaiser-sinc filter
+    # pure (p, C) constants built from the kaiser-sinc filter. The even
+    # and odd FIRs of each direction are MERGED into one block matrix
+    # (outputs lane-concatenated for up: [128, 256]; inputs for down:
+    # [256, 128]) so each AA costs TWO row-shifted matmul passes, not
+    # four.
     extra_in, extra_specs, fir_meta = [], [], None
     if p > 1:
         f = np.asarray(kaiser_sinc_filter1d(0.25, 0.3, 12), np.float32)
@@ -308,9 +322,25 @@ def fused_amp_layer(x, alpha1, w1, b1, alpha2, w2, b2, dilation: int,
                                  [j - 3 for j in range(6)], p, C)
         FDO, qdo_min = _pack_fir([float(f[2 * j + 1]) for j in range(6)],
                                  [j - 2 for j in range(6)], p, C)
-        extra_in = [FUE, FUO, FDE, FDO]
-        fir_meta = (que_min, FUE.shape[0], quo_min, FUO.shape[0],
-                    qde_min, FDE.shape[0], qdo_min, FDO.shape[0])
+
+        def _merge(A, qa, Bm, qb, concat_axis):
+            A, Bm = np.asarray(A), np.asarray(Bm)
+            q_min = min(qa, qb)
+            k2 = max(qa + A.shape[0], qb + Bm.shape[0]) - q_min
+            if concat_axis == 2:  # up: concat outputs
+                M = np.zeros((k2, 128, 256), np.float32)
+                M[qa - q_min: qa - q_min + A.shape[0], :, :128] = A
+                M[qb - q_min: qb - q_min + Bm.shape[0], :, 128:] = Bm
+            else:  # down: concat inputs [s_odd | s_even]
+                M = np.zeros((k2, 256, 128), np.float32)
+                M[qa - q_min: qa - q_min + A.shape[0], :128, :] = A
+                M[qb - q_min: qb - q_min + Bm.shape[0], 128:, :] = Bm
+            return jnp.asarray(M), q_min
+
+        FUP, qu_min = _merge(FUE, que_min, FUO, quo_min, 2)
+        FDN, qd_min = _merge(FDE, qde_min, FDO, qdo_min, 1)
+        extra_in = [FUP, FDN]
+        fir_meta = (qu_min, FUP.shape[0], qd_min, FDN.shape[0])
 
     vspec = lambda shape: pl.BlockSpec(
         shape, lambda b, t: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
