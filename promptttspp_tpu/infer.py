@@ -138,13 +138,21 @@ class Synthesizer:
             variables, phoneme, phone_lengths, prompt_ids, prompt_mask,
             reference_mel, ref_lengths, use_max, noise_scale, style_rng,
             diffusion_rng, max_frames)
+        f0, mel_denorm = self._postprocess(mel, log_cf0, vuv)
+        wav = self.vocoder.apply(voc_variables, mel_denorm, f0,
+                                 deterministic=True)
+        return wav, mel_denorm, flens
+
+    def _postprocess(self, mel, log_cf0, vuv):
+        """F0 smoothing + vuv gating (`app.py:76-79`) and mel
+        denormalization (`app.py:80`) — the ONE definition both the
+        fused single-dispatch path and the chunked/sharded fallbacks
+        run through."""
         log_cf0 = lowpass_filter(log_cf0[..., 0], fs=100, cutoff=20)
         f0 = jnp.exp(log_cf0)
         f0 = jnp.where(vuv[..., 0] > 0.5, f0, 0.0)[..., None]
         mel_denorm = mel * self.mel_stats["std"] + self.mel_stats["mean"]
-        wav = self.vocoder.apply(voc_variables, mel_denorm, f0,
-                                 deterministic=True)
-        return wav, mel_denorm, flens
+        return f0, mel_denorm
 
     def _cond_pass(self, variables, phoneme, phone_lengths, prompt_ids,
                    prompt_mask, reference_mel, ref_lengths, use_max,
@@ -275,13 +283,7 @@ class Synthesizer:
                 ref_mel, ref_lens, use_max, noise_scale, style_rng,
                 diffusion_rng, max_frames=max_frames)
 
-        # f0 smoothing + gating (`app.py:76-79`)
-        log_cf0 = lowpass_filter(log_cf0[..., 0], fs=100, cutoff=20)
-        f0 = jnp.exp(log_cf0)
-        f0 = jnp.where(vuv[..., 0] > 0.5, f0, 0.0)[..., None]
-
-        # denormalize mel (`app.py:80`)
-        mel_denorm = mel * self.mel_stats["std"] + self.mel_stats["mean"]
+        f0, mel_denorm = self._postprocess(mel, log_cf0, vuv)
 
         wavs, mels = [], []
         flens_np = np.asarray(flens)

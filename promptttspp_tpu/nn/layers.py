@@ -15,6 +15,8 @@ keep the parameter tree flat.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

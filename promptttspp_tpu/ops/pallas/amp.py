@@ -168,11 +168,31 @@ def _kernel(x_hbm, a1_ref, a2_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest,
                 s_odd = u_odd + inv_a * jnp.square(jnp.sin(u_odd * a))
 
         # global s-edge replication: samples < 0 read s[0], > T-1 read
-        # s[2T-1] (= s_odd at sample T-1)
+        # s[2T-1] (= s_odd at sample T-1). Under ablate="edge" it is
+        # skipped for BOTH layouts so the ablation profiler attributes
+        # its cost correctly at p == 1 too.
         if "edge" in ablate:
             if fir_meta is not None:
                 return conv(jnp.concatenate([s_odd, s_even], axis=1),
                             fdn_ref, None, qd_min, k2_d, 1)
+        else:
+            s_even, s_odd = _edge_replicate(s_even, s_odd)
+
+        if fir_meta is not None:
+            # both down-FIRs as ONE [256, 128] matmul pass (inputs
+            # lane-concatenated [s_odd | s_even])
+            return conv(jnp.concatenate([s_odd, s_even], axis=1),
+                        fdn_ref, None, qd_min, k2_d, 1)
+        sep = padded(s_even)
+        sop = padded(s_odd)
+        y = float(f[0]) * tap(sop, -3)
+        for j in range(1, 6):
+            y = y + float(f[2 * j]) * tap(sop, j - 3)
+        for j in range(6):
+            y = y + float(f[2 * j + 1]) * tap(sep, j - 2)
+        return y
+
+    def _edge_replicate(s_even, s_odd):
         d_first = jnp.clip((0 - (t0 - H * p)) // p, 0, S - 1)
         d_last = jnp.clip((n_time - 1 - (t0 - H * p)) // p, 0, S - 1)
         sf = jnp.sum(jnp.where(rows_i == d_first, s_even, 0.0), axis=0,
@@ -193,20 +213,7 @@ def _kernel(x_hbm, a1_ref, a2_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest,
         s_odd = jnp.where(qg < 0, accf, s_odd)
         s_even = jnp.where(qg > n_time - 1, accl, s_even)
         s_odd = jnp.where(qg > n_time - 1, accl, s_odd)
-
-        if fir_meta is not None:
-            # both down-FIRs as ONE [256, 128] matmul pass (inputs
-            # lane-concatenated [s_odd | s_even])
-            return conv(jnp.concatenate([s_odd, s_even], axis=1),
-                        fdn_ref, None, qd_min, k2_d, 1)
-        sep = padded(s_even)
-        sop = padded(s_odd)
-        y = float(f[0]) * tap(sop, -3)
-        for j in range(1, 6):
-            y = y + float(f[2 * j]) * tap(sop, j - 3)
-        for j in range(6):
-            y = y + float(f[2 * j + 1]) * tap(sep, j - 2)
-        return y
+        return s_even, s_odd
 
     def zero_outside(arr):
         return jnp.where((qg >= 0) & (qg < n_time), arr, 0.0)

@@ -12,8 +12,16 @@ the donated train state can keep mutating) but the ~GB-scale serialize +
 fsync runs on a background thread, and the epoch loop stalls only on the
 gather instead of the full write. ``wait_until_finished()`` joins the
 writer; restores and process exit call it implicitly. The on-disk format
-is the plain orbax PyTree layout, unchanged — checkpoints written by
-round-2 code or by ``scripts/convert_torch_ckpt.py`` restore fine.
+is the plain orbax PyTree layout.
+
+Compatibility note: the structural-freeze change altered the
+``opt_state`` TREE (optimizer state now covers only the trainable
+subtree, and the optax.masked wrapper is gone), so a full RESUME of a
+freeze_bert checkpoint written by pre-structural-freeze code fails on
+the opt_state template mismatch. Params/batch_stats layouts are
+unchanged — warm-start such checkpoints via ``pretrained_ckpt``
+(load_pretrained_params) instead; ``scripts/convert_torch_ckpt.py``
+outputs restore fine either way.
 """
 
 from __future__ import annotations

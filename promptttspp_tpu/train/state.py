@@ -121,11 +121,17 @@ def make_optimizer(
     )
 
 
-def create_train_state(model, batch, rng, tx,
-                       freeze_mask=None) -> TrainState:
-    """freeze_mask (True = trainable): opt_state is inited over the
-    trainable subtree only — pair with
-    ``make_train_step(freeze_mask=...)``."""
+def freeze_opt_state(state: "TrainState", tx,
+                     freeze_mask) -> "TrainState":
+    """Re-init opt_state over the trainable subtree only (the structural
+    freeze) — pair with ``make_train_step(freeze_mask=...)``. The mask
+    is derived from the params tree (bert_freeze_mask), so this runs
+    AFTER create_train_state."""
+    return state.replace(
+        opt_state=tx.init(split_params(state.params, freeze_mask)[0]))
+
+
+def create_train_state(model, batch, rng, tx) -> TrainState:
     init_rngs = {
         "params": rng,
         "dropout": jax.random.fold_in(rng, 1),
@@ -136,13 +142,11 @@ def create_train_state(model, batch, rng, tx,
         init_rngs, batch, train=True)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    opt_target = params if freeze_mask is None \
-        else split_params(params, freeze_mask)[0]
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=batch_stats,
-        opt_state=tx.init(opt_target),
+        opt_state=tx.init(params),
     )
 
 
@@ -169,7 +173,7 @@ def make_train_step(model, tx, donate: bool = True, bf16: bool = False,
     run only over the trainable subtree — no dead backward through the
     frozen 11.x BERT layers and no optimizer HBM traffic for their 110M
     params. ``tx``/``opt_state`` must then be defined over the
-    trainable subtree (see create_train_state / split_params); the
+    trainable subtree (see freeze_opt_state); the
     clipping norm matches torch's clip_grad_norm_ over requires_grad
     params exactly (frozen grads are zero there, absent here).
     """

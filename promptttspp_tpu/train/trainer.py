@@ -34,8 +34,8 @@ from promptttspp_tpu.parallel.mesh import (
     make_mesh, pad_batch_to_multiple, shard_batch)
 from promptttspp_tpu.train import checkpoint as ckpt_lib
 from promptttspp_tpu.train.state import (
-    bert_freeze_mask, create_train_state, make_eval_step, make_optimizer,
-    make_train_step)
+    bert_freeze_mask, create_train_state, freeze_opt_state,
+    make_eval_step, make_optimizer, make_train_step)
 from promptttspp_tpu.train.tracker import Tracker
 
 MODEL_BATCH_KEYS = (
@@ -216,10 +216,7 @@ class TTSTrainer:
             # structural: opt_state covers the trainable subtree only
             # (no optimizer traffic/memory for the frozen 110M params).
             mask = bert_freeze_mask(state.params)
-            from promptttspp_tpu.train.state import split_params
-
-            state = state.replace(
-                opt_state=tx.init(split_params(state.params, mask)[0]))
+            state = freeze_opt_state(state, tx, mask)
 
         if jax.process_count() > 1 or mesh.shape["model"] > 1:
             # one placement path for DP, TP, and multi-host: TP specs on
@@ -392,8 +389,10 @@ class TTSTrainer:
                             host_sync_every - 1:
                         float(np.asarray(metrics["loss"]).sum())
                     if profile_steps and global_step == profile_steps + 3:
-                        jax.tree.map(
-                            lambda x: x.block_until_ready(), metrics)
+                        # readback, not block_until_ready: the latter is
+                        # a no-op on tunneled backends and would stop
+                        # the trace while steps are still queued
+                        float(np.asarray(metrics["loss"]).sum())
                         jax.profiler.stop_trace()
                         self.logger.info(f"profile trace -> {profile_dir}")
                     global_step += 1

@@ -230,6 +230,17 @@ def main():
         results["ceiling"] = frames / dt
         del resident
 
+    def timed_epochs(loader_fn):
+        # epoch-pure shuffle: advance the sampler like the trainer does,
+        # so each epoch sees a fresh batch order (IO / bucketing
+        # patterns match real training, not a replay of epoch 0)
+        t0 = time.perf_counter()
+        frames = 0
+        for e in range(args.epochs):
+            sampler.set_epoch(e + 1)
+            frames += run_epoch(loader_fn())
+        return frames / (time.perf_counter() - t0)
+
     loaders = {
         "sync": sync_loader,
         "sync_native": sync_native_loader,
@@ -244,13 +255,7 @@ def main():
         if "native" in mode and not native_loader.available():
             print("native loader not built; skipping", file=sys.stderr)
             continue
-        loader_fn = loaders[mode]
-        t0 = time.perf_counter()
-        frames = 0
-        for _ in range(args.epochs):
-            frames += run_epoch(loader_fn())
-        dt = time.perf_counter() - t0
-        results[mode] = frames / dt
+        results[mode] = timed_epochs(loaders[mode])
 
     ceiling = results.get("ceiling")
     for mode, fps in results.items():

@@ -99,9 +99,8 @@ def main():
     tx = make_optimizer()
     state = create_train_state(model, batch, rng, tx)
     mask = bert_freeze_mask(state.params)
-    from promptttspp_tpu.train.state import split_params
-    state = state.replace(
-        opt_state=tx.init(split_params(state.params, mask)[0]))
+    from promptttspp_tpu.train.state import freeze_opt_state
+    state = freeze_opt_state(state, tx, mask)
     frames = B * Tf
 
     only = sys.argv[4] if len(sys.argv) > 4 else ""

@@ -310,14 +310,13 @@ def test_freeze_mask_train_step_updates_only_last_attention(trained):
         bert_freeze_mask, make_optimizer, make_train_step)
     from promptttspp_tpu.train.trainer import model_batch
 
-    from promptttspp_tpu.train.state import split_params
+    from promptttspp_tpu.train.state import freeze_opt_state
 
     trainer, state, out, cfg = trained
     model = tiny_model()
     mask = bert_freeze_mask(state.params)
     tx = make_optimizer(warmup_steps=10)
-    state = state.replace(
-        opt_state=tx.init(split_params(state.params, mask)[0]))
+    state = freeze_opt_state(state, tx, mask)
     step = make_train_step(model, tx, donate=False, freeze_mask=mask)
     ds = SyntheticDataset(8, 3)
     batch = PromptTTSCollator(tokenizer=TokenHashTokenizer())(
