@@ -243,8 +243,11 @@ class TTSTrainer:
             state = ckpt_lib.load_pretrained_params(cfg.pretrained, state)
             self.logger.info(f"warm start from {cfg.pretrained}")
 
+        # train.fp16 is the reference's AMP switch (trainers/tts.py:92,203);
+        # on TPU the half precision is bfloat16, so honor it as an alias
         train_step = make_train_step(
-            model, tx, bf16=cfg.select("train.bf16", False),
+            model, tx, bf16=(cfg.select("train.bf16", False)
+                             or cfg.select("train.fp16", False)),
             freeze_mask=mask)
         eval_step = make_eval_step(model)
         step_rng = jax.random.PRNGKey(seed + 1)

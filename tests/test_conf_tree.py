@@ -58,3 +58,18 @@ def test_reference_target_aliases():
         "promptttspp.layers.embedding.PhonemeEmbedding"])
     model = instantiate(cfg.model)
     assert model.phoneme_embedding.num_vocab == 90
+
+
+def test_reference_readme_train_cli_verbatim():
+    """The reference README's exact training command line composes here
+    unchanged (`/root/reference/README.md` "Train" section), including
+    `train.fp16=false` — the AMP switch the trainer honors as a bf16
+    alias (trainers/tts.py:92,203)."""
+    cfg = compose(CONF, "train", overrides=[
+        "model=prompttts_mdn_v2_wo_erg_final",
+        "output_dir=./out/proposed", "train=noam", "path=default",
+        "dataset.max_tokens=30000", "train.fp16=false", "dataset=mel"])
+    assert cfg.select("train.fp16") is False
+    assert cfg.select("dataset.max_tokens") == 30000
+    cfg2 = compose(CONF, "train", overrides=["train.fp16=true"])
+    assert cfg2.select("train.fp16") is True
