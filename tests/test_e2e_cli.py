@@ -165,6 +165,18 @@ def test_full_cli_workflow(corpus, tmp_path_factory):
         assert sr == 24000 and len(data) > 24000 // 2
     assert (synth_out / "finish").exists()
 
+    # 5. objective eval over the synthesized trees
+    import json
+
+    run_cli("egs/proposed/bin/eval.py", root_ov,
+            f"output_dir={synth_out}", "num_eval_utts=1")
+    rep = json.loads((synth_out / "eval_metrics.json").read_text())
+    for mode in ("ref", "prompt"):
+        mean = rep[mode]["mean"]
+        assert rep[mode]["n_utts"] == 1
+        assert np.isfinite(mean["mcd"]) and mean["mcd"] > 0
+        assert 0.0 <= mean["vuv_error"] <= 1.0
+
 
 def _make_torch_vocoder_ckpt(path):
     """Tiny reference F0AwareBigVGAN, saved the way the reference publishes
