@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--pndm-speedup", type=int, default=0,
                     help="PLMS multistep sampling: K/N denoiser calls "
                     "instead of K (different samples than ancestral)")
+    ap.add_argument("--decode-bf16", action="store_true",
+                    help="bf16-STORED denoiser weights + hoisted cond "
+                    "projections (halves the decode scan's HBM streaming; "
+                    "compute stays f32, x carry f32)")
     ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args()
 
@@ -55,9 +59,19 @@ def main():
 
     overrides = ([f"+model.decoder.pndm_speedup={args.pndm_speedup}"]
                  if args.pndm_speedup else [])
+    if args.decode_bf16:
+        overrides.append("+model.decoder.infer_io_dtype=bfloat16")
     model = build_flagship_model(overrides)
     batch = example_batch(B=B, Tp=TP, Tf=MAX_FRAMES, L=L)
     variables = init_flagship(model, batch)
+    if args.decode_bf16:
+        dn = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a,
+            variables["params"]["decoder"]["denoise_fn"])
+        variables = {**variables, "params": {
+            **variables["params"], "decoder": {
+                **variables["params"]["decoder"], "denoise_fn": dn}}}
 
     vocoder = build_vocoder("bigvgan_f0")
     mel0 = jnp.zeros((B, MAX_FRAMES, 80), jnp.float32)

@@ -85,7 +85,9 @@ def build_synthesizer(cfg):
                        to_mel=to_mel,
                        vocoder_mode=cfg.get("vocoder_mode", "batched"),
                        frame_sharded_decode=cfg.get(
-                           "frame_sharded_decode", False))
+                           "frame_sharded_decode", False),
+                       decode_param_dtype=cfg.get(
+                           "decode_param_dtype", None))
 
 
 def load_reference_mel(synth, cfg, spk, utt):

@@ -41,6 +41,7 @@ class Synthesizer:
         halo_frames: int = 16,
         upsample: int = 240,
         frame_sharded_decode: bool = False,
+        decode_param_dtype: Optional[str] = None,
     ):
         """vocoder_mode: "batched" (one call over the utterance batch),
         "chunked" (fold fixed-size mel chunks into the batch axis — one
@@ -52,6 +53,24 @@ class Synthesizer:
         exact sequence parallelism for long utterances."""
         assert vocoder_mode in ("batched", "chunked", "sharded")
         self.model = model
+        if decode_param_dtype is not None:
+            # bf16-stored denoiser weights: the 100-step scan re-streams
+            # every DiffNet weight from HBM each step, so storage dtype —
+            # not compute dtype — sets the decode's bandwidth bill. Flax
+            # promotes bf16 params against f32 activations, so the math
+            # still runs f32 (and TPU matmuls already multiply in bf16 by
+            # default). Pair with `+model.decoder.infer_io_dtype=bfloat16`
+            # for the hoisted cond projections.
+            dt = jnp.dtype(decode_param_dtype)
+            dn = jax.tree.map(
+                lambda a: a.astype(dt)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                variables["params"]["decoder"]["denoise_fn"])
+            variables = dict(variables)
+            variables["params"] = dict(variables["params"])
+            variables["params"]["decoder"] = dict(
+                variables["params"]["decoder"])
+            variables["params"]["decoder"]["denoise_fn"] = dn
         self.variables = variables
         self.vocoder = vocoder
         self.vocoder_variables = vocoder_variables

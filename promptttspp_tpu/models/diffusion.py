@@ -169,6 +169,15 @@ class GaussianDiffusion(nn.Module):
     a_min: float = 0.0
     a_max: float = 20.0
     pndm_speedup: Optional[int] = None
+    # serving lever (`+model.decoder.infer_io_dtype=bfloat16`): store the
+    # hoisted per-block conditioner projections — re-read from HBM by
+    # every one of the K sampling steps — in this dtype. Pairs with
+    # bf16-stored denoiser params (Synthesizer(decode_param_dtype=...));
+    # the x carry, eps math and schedule constants stay f32, and the MXU
+    # already multiplies in bf16 by default, so this changes HBM traffic,
+    # not the compute path. Default None = f32 (bit-identical to the
+    # golden parity chain).
+    infer_io_dtype: Optional[str] = None
 
     def setup(self):
         if self.schedule_type == "linear":
@@ -278,9 +287,14 @@ class GaussianDiffusion(nn.Module):
         # hoist the per-block conditioner projections out of the sampling
         # loop: they depend only on cond, and recomputing them inside the
         # scan restreams ~20 weight matrices per step x K steps
+        if self.infer_io_dtype is not None:
+            cond = cond.astype(jnp.dtype(self.infer_io_dtype))
         cond_projs = (self.denoise_fn.precompute_cond(cond)
                       if hasattr(self.denoise_fn, "precompute_cond")
                       else None)
+        if cond_projs is not None and self.infer_io_dtype is not None:
+            dt = jnp.dtype(self.infer_io_dtype)
+            cond_projs = jax.tree.map(lambda a: a.astype(dt), cond_projs)
 
         if self.pndm_speedup:
             # PLMS fast path (the reference stubs this with

@@ -178,3 +178,27 @@ def test_conditioning_xor(tiny):
     with pytest.raises(AssertionError):
         synth.synthesize(seq, prompts=["x"],
                          reference_mels=[np.zeros((10, MEL), np.float32)])
+
+
+def test_decode_param_dtype_tracks_f32(tiny):
+    """Synthesizer(decode_param_dtype="bfloat16") — bf16-stored denoiser
+    weights — yields the same chain as f32 to bf16-rounding tolerance."""
+    import tests.test_train as tt
+
+    model, variables, ds = tiny
+    seqs = [list(ds[i]["phonemes"]) for i in range(2)]
+    prompts = ["a low calm voice", "bright fast speech"]
+
+    tok = tt.TokenHashTokenizer
+    ref_synth = _make_synth(model, variables, tokenizer=tok())
+    bf_synth = Synthesizer(model, variables, tokenizer=tok(),
+                           mel_stats={"mean": MEAN, "std": STD},
+                           frame_quantum=64, max_frames_cap=512,
+                           decode_param_dtype="bfloat16")
+    _, mels_ref = ref_synth.synthesize(seqs, prompts=prompts, seed=5)
+    _, mels_bf = bf_synth.synthesize(seqs, prompts=prompts, seed=5)
+    for a, b in zip(mels_ref, mels_bf):
+        assert a.shape == b.shape  # same durations picked
+        assert np.all(np.isfinite(b))
+        # same chain (not a different sample), deviation ~ bf16 rounding
+        assert np.mean(np.abs(a - b)) < 0.05 * STD
