@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from promptttspp_tpu.ops.pallas.polyops import sin2 as _sin2
 from promptttspp_tpu.vocoders.activations import kaiser_sinc_filter1d
 
 HALO = 8
@@ -59,7 +60,7 @@ def _kernel(x_hbm, alpha_ref, out_ref, scratch, sem, *, tile: int,
     inv_a = 1.0 / (a + 1e-9)
 
     def snake(u):
-        return u + inv_a * jnp.square(jnp.sin(u * a))
+        return u + inv_a * _sin2(u * a)
 
     def taps(base, weights):
         acc = weights[0] * xt[base:base + nq, :]
@@ -78,18 +79,26 @@ def _kernel(x_hbm, alpha_ref, out_ref, scratch, sem, *, tile: int,
     # q=0); rows with q > T-1 read s[2T-1] (= s_odd at q=T-1). The row
     # indices are traced (depend on the tile id), so extract them with a
     # masked reduction instead of a dynamic slice.
-    rows = jax.lax.broadcasted_iota(jnp.int32, (nq, 1), 0)
-    qg = t0 - 3 + rows
-    d_first = jnp.clip(0 - (t0 - 3), 0, nq - 1)
-    d_last = jnp.clip((n_time - 1) - (t0 - 3), 0, nq - 1)
-    s_first = jnp.sum(jnp.where(rows == d_first, s_even, 0.0), axis=0,
-                      keepdims=True)
-    s_last = jnp.sum(jnp.where(rows == d_last, s_odd, 0.0), axis=0,
-                     keepdims=True)
-    s_even = jnp.where(qg < 0, s_first, s_even)
-    s_odd = jnp.where(qg < 0, s_first, s_odd)
-    s_even = jnp.where(qg > n_time - 1, s_last, s_even)
-    s_odd = jnp.where(qg > n_time - 1, s_last, s_odd)
+    def _edge_replicate(se_so):
+        s_even, s_odd = se_so
+        rows = jax.lax.broadcasted_iota(jnp.int32, (nq, 1), 0)
+        qg = t0 - 3 + rows
+        d_first = jnp.clip(0 - (t0 - 3), 0, nq - 1)
+        d_last = jnp.clip((n_time - 1) - (t0 - 3), 0, nq - 1)
+        s_first = jnp.sum(jnp.where(rows == d_first, s_even, 0.0), axis=0,
+                          keepdims=True)
+        s_last = jnp.sum(jnp.where(rows == d_last, s_odd, 0.0), axis=0,
+                         keepdims=True)
+        s_even = jnp.where(qg < 0, s_first, s_even)
+        s_odd = jnp.where(qg < 0, s_first, s_odd)
+        s_even = jnp.where(qg > n_time - 1, s_last, s_even)
+        s_odd = jnp.where(qg > n_time - 1, s_last, s_odd)
+        return s_even, s_odd
+
+    # identity on interior tiles (the s range stays inside [0, 2T))
+    boundary = jnp.logical_or(t0 - 3 < 0, t0 + tile + 3 > n_time - 1)
+    s_even, s_odd = jax.lax.cond(
+        boundary, _edge_replicate, lambda p_: p_, (s_even, s_odd))
 
     # y row r (t' = t0 + r): sum_j f[2j] * s_odd[d = r + j]
     #                      + sum_j f[2j+1] * s_even[d = r + j + 1]
@@ -139,7 +148,7 @@ def _kernel_packed(x_hbm, alpha_ref, out_ref, scratch, sem, *, rows: int,
         return jnp.where(lane < 128 - l, rA, rB)
 
     def snake(u):
-        return u + inv_a * jnp.square(jnp.sin(u * a))
+        return u + inv_a * _sin2(u * a)
 
     even_w = [2.0 * float(f[2 * i]) for i in range(6)]
     odd_w = [2.0 * float(f[2 * i + 1]) for i in range(6)]
@@ -153,32 +162,42 @@ def _kernel_packed(x_hbm, alpha_ref, out_ref, scratch, sem, *, rows: int,
     s_odd = snake(u_odd)
 
     # global s edge replication (samples < 0 use s[0]; > T-1 use s[2T-1])
-    rows_i = jax.lax.broadcasted_iota(jnp.int32, (U, 1), 0)
-    qg = t0 - 4 * p + rows_i * p + lane // c  # [U, 128] sample index
-    lane_in_c = lane < c
+    def _edge_replicate(se_so):
+        s_even, s_odd = se_so
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (U, 1), 0)
+        qg = t0 - 4 * p + rows_i * p + lane // c  # [U, 128] sample index
+        lane_in_c = lane < c
 
-    s0_idx = jnp.clip((0 - (t0 - 4 * p)) // p, 0, U - 1)
-    s0_row = jnp.sum(jnp.where(rows_i == s0_idx, s_even, 0.0), axis=0,
-                     keepdims=True)
-    s0_rep = jnp.where(lane_in_c, s0_row, 0.0)
-    acc0 = s0_rep
-    for g in range(1, p):
-        acc0 = acc0 + pltpu.roll(s0_rep, g * c, 1)
+        s0_idx = jnp.clip((0 - (t0 - 4 * p)) // p, 0, U - 1)
+        s0_row = jnp.sum(jnp.where(rows_i == s0_idx, s_even, 0.0), axis=0,
+                         keepdims=True)
+        s0_rep = jnp.where(lane_in_c, s0_row, 0.0)
+        acc0 = s0_rep
+        for g in range(1, p):
+            acc0 = acc0 + pltpu.roll(s0_rep, g * c, 1)
 
-    g_last = (n_time - 1) % p
-    sl_idx = jnp.clip((n_time - 1 - (t0 - 4 * p)) // p, 0, U - 1)
-    sl_row = jnp.sum(jnp.where(rows_i == sl_idx, s_odd, 0.0), axis=0,
-                     keepdims=True)
-    sl_grp = jnp.where(lane // c == g_last, sl_row, 0.0)
-    accl = jnp.zeros_like(sl_grp)
-    for g in range(p):
-        shift = ((g - g_last) % p) * c
-        accl = accl + (sl_grp if shift == 0 else pltpu.roll(sl_grp, shift, 1))
+        g_last = (n_time - 1) % p
+        sl_idx = jnp.clip((n_time - 1 - (t0 - 4 * p)) // p, 0, U - 1)
+        sl_row = jnp.sum(jnp.where(rows_i == sl_idx, s_odd, 0.0), axis=0,
+                         keepdims=True)
+        sl_grp = jnp.where(lane // c == g_last, sl_row, 0.0)
+        accl = jnp.zeros_like(sl_grp)
+        for g in range(p):
+            shift = ((g - g_last) % p) * c
+            accl = accl + (sl_grp if shift == 0
+                           else pltpu.roll(sl_grp, shift, 1))
 
-    s_even = jnp.where(qg < 0, acc0, s_even)
-    s_odd = jnp.where(qg < 0, acc0, s_odd)
-    s_even = jnp.where(qg > n_time - 1, accl, s_even)
-    s_odd = jnp.where(qg > n_time - 1, accl, s_odd)
+        s_even = jnp.where(qg < 0, acc0, s_even)
+        s_odd = jnp.where(qg < 0, acc0, s_odd)
+        s_even = jnp.where(qg > n_time - 1, accl, s_even)
+        s_odd = jnp.where(qg > n_time - 1, accl, s_odd)
+        return s_even, s_odd
+
+    # identity on interior tiles
+    boundary = jnp.logical_or(t0 - 4 * p < 0,
+                              t0 + (R + 4) * p > n_time)
+    s_even, s_odd = jax.lax.cond(
+        boundary, _edge_replicate, lambda p_: p_, (s_even, s_odd))
 
     y = float(f[0]) * tap(s_odd, -3, 4, R)
     for j in range(1, 6):
