@@ -250,7 +250,16 @@ class TTSTrainer:
                              or cfg.select("train.fp16", False)),
             freeze_mask=mask)
         eval_step = make_eval_step(model)
-        step_rng = jax.random.PRNGKey(seed + 1)
+        # rbg keys: key derivation stays threefry, but bulk bit
+        # generation (the ~40M dropout uniforms per step) uses the TPU's
+        # hardware RNG — measured 28.8 -> 25.2 ms/step on the flagship
+        # (threefry mask generation was 12% of the step); also the
+        # partitionable-by-construction impl for SPMD meshes. Streams
+        # stay deterministic per (seed, backend); dropout/diffusion
+        # noise draws differ from the threefry streams, which no
+        # numerical contract depends on (parity tests inject noise
+        # explicitly or run eval mode).
+        step_rng = jax.random.key(seed + 1, impl="rbg")
 
         num_epochs = num_epochs or cfg.select("train.num_epochs", 1000)
         save_interval = cfg.select("train.save_interval", 20)

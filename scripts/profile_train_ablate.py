@@ -52,7 +52,7 @@ def main():
 
     batch = {k: jnp.asarray(v)
              for k, v in example_batch(B=B, Tp=Tp, Tf=Tf, L=32).items()}
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.key(0, impl="rbg")  # production impl (trainer.py)
     frames = B * Tf
 
     # gradient-preserving stubs: each consumes its params (via one tiny
@@ -98,8 +98,8 @@ def main():
             s = jnp.mean(x)
             xf = jnp.broadcast_to(s, (B_, Tf_, C))
             g = jnp.zeros((B_, Tp_, 1)) + s
-            mdn_out = (jnp.zeros((B_, Tp_, 4)) + s,
-                       jnp.zeros((B_, Tp_, 4)) + s,
+            mdn_out = (jnp.zeros((B_, Tp_, 4, 1)) + s,
+                       jnp.zeros((B_, Tp_, 4, 1)) + s,
                        jnp.zeros((B_, Tp_, 4, 1)) + s)
             zf = jnp.zeros((B_, Tf_, 1)) + s
             return xf, mdn_out, zf, zf, None
@@ -137,9 +137,13 @@ def main():
         finally:
             restore()
 
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
     print(f"train-step ablation  B={B} Tp={Tp} Tf={Tf}")
     t_full = run_one("FULL step", None)
-    for stubber in (stub_decoder, stub_gst, stub_va, stub_encoder):
+    for key, stubber in (("decoder", stub_decoder), ("gst", stub_gst),
+                         ("va", stub_va), ("encoder", stub_encoder)):
+        if only is not None and key not in only:
+            continue
         t = run_one("", stubber)
         print(f"    -> attributed: {t_full - t:6.2f} ms")
 

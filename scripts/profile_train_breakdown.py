@@ -94,7 +94,7 @@ def main():
     model = build_flagship_model()
     batch = {k: jnp.asarray(v)
              for k, v in example_batch(B=B, Tp=Tp, Tf=Tf, L=32).items()}
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.key(0, impl="rbg")  # production impl (trainer.py)
 
     tx = make_optimizer()
     state = create_train_state(model, batch, rng, tx)
