@@ -94,6 +94,7 @@ def _kernel(x_hbm, a1_ref, a2_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest,
             n_time: int, q1_min: int, k2_1: int, q1_stride: int,
             q2_min: int, k2_2: int, q2_stride: int, mxu_bf16: bool,
             fir_meta=None, ablate: str = ""):
+    lanes = max(c, 128)  # c > 128 (p == 1): one sample per row, c lanes
     # fir_meta != None (p > 1): the four antialias FIRs arrive as packed
     # [k2, 128, 128] block matrices and run on the MXU — the tap/roll
     # formulation costs ~100 cross-lane pltpu.rolls per layer and is
@@ -118,7 +119,7 @@ def _kernel(x_hbm, a1_ref, a2_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest,
     f = kaiser_sinc_filter1d(0.25, 0.3, 12)
     even_w = [2.0 * float(f[2 * i]) for i in range(6)]
     odd_w = [2.0 * float(f[2 * i + 1]) for i in range(6)]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
     # global sample index of (row, lane) on the uniform grid
     qg = t0 + (rows_i - H) * p + lane // c
@@ -295,17 +296,20 @@ def _kernel(x_hbm, a1_ref, a2_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest,
 def fused_amp_layer(x, alpha1, w1, b1, alpha2, w2, b2, dilation: int,
                     tile: int = 0, interpret: bool = False,
                     mxu_bf16: bool = False, ablate: str = ""):
-    """One fused AMPLayer: x [B, T, C] (C in {16, 32, 64, 128}),
-    alpha* [C], w1 [k, C, C] (dilated), w2 [k, C, C] (dilation 1),
-    b* [C] -> [B, T, C]. Equals
+    """One fused AMPLayer: x [B, T, C] (C in {16, 32, 64, 128} lane-packed,
+    or a multiple of 128 — e.g. the C=256 stage-0 MRF — with one sample
+    per row and C lanes), alpha* [C], w1 [k, C, C] (dilated),
+    w2 [k, C, C] (dilation 1), b* [C] -> [B, T, C]. Equals
     x + conv2(AA2(conv1(AA1(x)))) with SAME convs."""
     B, T, C = x.shape
-    p = 128 // C
+    p = max(1, 128 // C)
+    lanes = max(C, 128)
     k = w1.shape[0]
     if tile == 0:
         # p == 1 keeps one sample per row: smaller tile so the ~10 live
-        # [S, 128] f32 stage buffers stay within VMEM
-        tile = 1024 if p == 1 else 2048
+        # [S, lanes] f32 stage buffers stay within VMEM
+        tile = (1024 if C <= 128 else max(512, 1024 * 128 // C)) \
+            if p == 1 else 2048
     tile = max(tile, 8 * p)
 
     # halo: AA (6 samples) + conv1 ((k-1)/2*d) + AA + conv2 ((k-1)/2),
@@ -318,7 +322,7 @@ def fused_amp_layer(x, alpha1, w1, b1, alpha2, w2, b2, dilation: int,
     Tp = T + pad_t
     halo_s = H * p
     xp = jnp.pad(x, ((0, 0), (halo_s, halo_s + pad_t), (0, 0)), mode="edge")
-    xf = xp.reshape(B, (Tp + 2 * halo_s) // p, 128)
+    xf = xp.reshape(B, (Tp + 2 * halo_s) * C // lanes, lanes)
 
     W1, q1_min, q1_stride = _pack_conv_weight(w1, p, dilation)
     W2, q2_min, q2_stride = _pack_conv_weight(w2, p, 1)
@@ -372,18 +376,18 @@ def fused_amp_layer(x, alpha1, w1, b1, alpha2, w2, b2, dilation: int,
             q1_min=q1_min, k2_1=W1.shape[0], q1_stride=q1_stride,
             q2_min=q2_min, k2_2=W2.shape[0], q2_stride=q2_stride,
             mxu_bf16=mxu_bf16, fir_meta=fir_meta, ablate=ablate),
-        out_shape=jax.ShapeDtypeStruct((B, n_tiles * R, 128), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles * R, lanes), x.dtype),
         grid=(B, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            vspec((1, 128)), vspec((1, 128)),
-            vspec(W1.shape), vspec((1, 128)),
-            vspec(W2.shape), vspec((1, 128)),
+            vspec((1, lanes)), vspec((1, lanes)),
+            vspec(W1.shape), vspec((1, lanes)),
+            vspec(W2.shape), vspec((1, lanes)),
         ] + extra_specs,
-        out_specs=pl.BlockSpec((1, R, 128), lambda b, t: (b, t, 0),
+        out_specs=pl.BlockSpec((1, R, lanes), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((R + 2 * H, 128), x.dtype),
+            pltpu.VMEM((R + 2 * H, lanes), x.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,

@@ -128,7 +128,8 @@ class AMPLayer(nn.Module):
         import jax as _jax
 
         C = self.channels
-        if C in (16, 32, 64, 128) and _jax.default_backend() == "tpu":
+        if (C in (16, 32, 64, 128) or C % 128 == 0) \
+                and _jax.default_backend() == "tpu":
             from promptttspp_tpu.ops.pallas.amp import fused_amp_layer
 
             return fused_amp_layer(

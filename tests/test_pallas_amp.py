@@ -32,6 +32,8 @@ def unfused(x, a1, w1, b1, a2, w2, b2, dilation):
     (520, 16, 11, 5, 256),   # p=8
     (400, 128, 11, 5, 128),  # p=1 (row-per-sample, strided dilated taps)
     (300, 128, 7, 3, 128),   # p=1
+    (200, 256, 3, 5, 64),    # p=1, C>128 (stage-0 MRF shape)
+    (150, 256, 7, 3, 64),    # p=1, C>128
 ])
 def test_fused_amp_matches_unfused(T, C, k, dil, tile):
     rng = np.random.RandomState(0)
