@@ -89,12 +89,22 @@ def _pack_fir(weights, offsets, pack: int, C: int):
         [(o, float(w) * eye) for w, o in zip(weights, offsets)], pack, C)
 
 
-def _kernel(x_hbm, a1_ref, a2_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest,
+def _kernel(x_hbm, *rest,
             rows: int, halo: int, p: int, c: int,
-            n_time: int, q1_min: int, k2_1: int, q1_stride: int,
-            q2_min: int, k2_2: int, q2_stride: int, mxu_bf16: bool,
+            n_time: int, layer_meta, mxu_bf16: bool,
             fir_meta=None, ablate: str = ""):
+    """One or more chained AMPLayers per tile. ``layer_meta`` is a tuple
+    of (q1_min, k2_1, q1_stride, q2_min, k2_2, q2_stride) per layer;
+    weight refs arrive as 6 per layer (a1, a2, W1, b1, W2, b2) in layer
+    order. Fusing a whole AMPBlock (3 layers) amortizes the DMA/writeback
+    floor and the host-side pad/reshape glue that separate calls pay per
+    layer; the halo covers the summed per-layer shrinkage and each
+    non-final layer's output is edge-replicated outside [0, T) so the
+    next layer's upsampler sees exactly the unfused path's padding."""
+    n_layers = len(layer_meta)
     lanes = max(c, 128)  # c > 128 (p == 1): one sample per row, c lanes
+    layer_refs = rest[:6 * n_layers]
+    rest = rest[6 * n_layers:]
     # fir_meta != None (p > 1): the four antialias FIRs arrive as packed
     # [k2, 128, 128] block matrices and run on the MXU — the tap/roll
     # formulation costs ~100 cross-lane pltpu.rolls per layer and is
@@ -282,17 +292,43 @@ def _kernel(x_hbm, a1_ref, a2_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest,
     cv = ((lambda arr, w, b, qm, k2, st: arr) if "conv" in ablate
           else conv)
     aa = ((lambda arr, alpha: arr) if "aa" in ablate else antialias)
-    h1 = zo(aa(xt, a1_ref[0, :].astype(jnp.float32)))
-    c1 = ro(cv(h1, w1_ref, b1_ref, q1_min, k2_1, q1_stride))
-    h2 = zo(aa(c1, a2_ref[0, :].astype(jnp.float32)))
-    c2 = cv(h2, w2_ref, b2_ref, q2_min, k2_2, q2_stride)
-    out = xt + c2
-    out_ref[0] = out[H: H + R, :].astype(out_ref.dtype)
+    x_cur = xt
+    for i in range(n_layers):
+        a1_ref, a2_ref, w1_ref, b1_ref, w2_ref, b2_ref = \
+            layer_refs[6 * i: 6 * i + 6]
+        q1_min, k2_1, q1_stride, q2_min, k2_2, q2_stride = layer_meta[i]
+        h1 = zo(aa(x_cur, a1_ref[0, :].astype(jnp.float32)))
+        c1 = ro(cv(h1, w1_ref, b1_ref, q1_min, k2_1, q1_stride))
+        h2 = zo(aa(c1, a2_ref[0, :].astype(jnp.float32)))
+        c2 = cv(h2, w2_ref, b2_ref, q2_min, k2_2, q2_stride)
+        x_cur = x_cur + c2
+        if i < n_layers - 1:
+            # the next layer's upsampler must see this output
+            # edge-replicated outside [0, T) — the host pad provides it
+            # for layer 0, ro() provides it between fused layers
+            x_cur = ro(x_cur)
+    out_ref[0] = x_cur[H: H + R, :].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("dilation", "tile", "interpret",
-                                    "mxu_bf16", "ablate"))
+def fused_block_vmem_ok(C: int, k: int, dilations) -> bool:
+    """Whether a whole-block fusion's VMEM footprint (all layers' conv
+    weights + ~8 live [S, lanes] f32 stage buffers) fits the 16 MB
+    scoped limit with headroom. Large-kernel wide-channel blocks (e.g.
+    C=256, k=11: 17 MB of weights alone) must fall back to per-layer
+    kernels."""
+    p = max(1, 128 // C)
+    lanes = max(C, 128)
+    tile = (1024 if C <= 128 else max(512, 1024 * 128 // C)) \
+        if p == 1 else 2048
+    need = sum(12 + (k - 1) // 2 * d + (k - 1) // 2 for d in dilations)
+    H = -(-need // p) + 8
+    H = -(-H // 8) * 8
+    S = tile // p + 2 * H
+    w_bytes = 2 * len(dilations) * k * C * C * 4
+    buf_bytes = S * lanes * 4 * 8
+    return w_bytes + buf_bytes < 12 * 1024 * 1024
+
+
 def fused_amp_layer(x, alpha1, w1, b1, alpha2, w2, b2, dilation: int,
                     tile: int = 0, interpret: bool = False,
                     mxu_bf16: bool = False, ablate: str = ""):
@@ -301,10 +337,29 @@ def fused_amp_layer(x, alpha1, w1, b1, alpha2, w2, b2, dilation: int,
     per row and C lanes), alpha* [C], w1 [k, C, C] (dilated),
     w2 [k, C, C] (dilation 1), b* [C] -> [B, T, C]. Equals
     x + conv2(AA2(conv1(AA1(x)))) with SAME convs."""
+    return fused_amp_block(
+        x, ((alpha1, w1, b1, alpha2, w2, b2),), (dilation,),
+        tile=tile, interpret=interpret, mxu_bf16=mxu_bf16, ablate=ablate)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("dilations", "tile", "interpret",
+                                    "mxu_bf16", "ablate"))
+def fused_amp_block(x, layer_params, dilations, tile: int = 0,
+                    interpret: bool = False, mxu_bf16: bool = False,
+                    ablate: str = ""):
+    """A CHAIN of AMPLayers as one kernel (one HBM read of x, one write
+    of the block output): ``layer_params`` is a tuple per layer of
+    (alpha1, w1, b1, alpha2, w2, b2), ``dilations`` the per-layer conv1
+    dilations. Fusing an AMPBlock's 3 layers amortizes the per-call
+    DMA/writeback floor and the host pad/reshape glue; the halo covers
+    the summed per-layer reach and non-final layer outputs are
+    edge-replicated in-kernel (matching the unfused path's host pad)."""
     B, T, C = x.shape
+    n_layers = len(dilations)
+    assert len(layer_params) == n_layers
     p = max(1, 128 // C)
     lanes = max(C, 128)
-    k = w1.shape[0]
     if tile == 0:
         # p == 1 keeps one sample per row: smaller tile so the ~10 live
         # [S, lanes] f32 stage buffers stay within VMEM
@@ -312,9 +367,11 @@ def fused_amp_layer(x, alpha1, w1, b1, alpha2, w2, b2, dilation: int,
             if p == 1 else 2048
     tile = max(tile, 8 * p)
 
-    # halo: AA (6 samples) + conv1 ((k-1)/2*d) + AA + conv2 ((k-1)/2),
-    # in rows, plus PAD slack per stage
-    need = 6 + (k - 1) // 2 * dilation + 6 + (k - 1) // 2
+    # halo: per layer AA (6 samples) + conv1 ((k-1)/2*d) + AA + conv2
+    # ((k-1)/2), summed over the chained layers, in rows, plus PAD slack
+    need = sum(
+        6 + (lp[1].shape[0] - 1) // 2 * d + 6 + (lp[1].shape[0] - 1) // 2
+        for lp, d in zip(layer_params, dilations))
     H = -(-need // p) + 8
     H = -(-H // 8) * 8  # 8-row alignment for the DMA
 
@@ -324,8 +381,17 @@ def fused_amp_layer(x, alpha1, w1, b1, alpha2, w2, b2, dilation: int,
     xp = jnp.pad(x, ((0, 0), (halo_s, halo_s + pad_t), (0, 0)), mode="edge")
     xf = xp.reshape(B, (Tp + 2 * halo_s) * C // lanes, lanes)
 
-    W1, q1_min, q1_stride = _pack_conv_weight(w1, p, dilation)
-    W2, q2_min, q2_stride = _pack_conv_weight(w2, p, 1)
+    layer_meta, layer_in = [], []
+    for (alpha1, w1, b1, alpha2, w2, b2), d in zip(layer_params, dilations):
+        W1, q1_min, q1_stride = _pack_conv_weight(w1, p, d)
+        W2, q2_min, q2_stride = _pack_conv_weight(w2, p, 1)
+        layer_meta.append((q1_min, W1.shape[0], q1_stride,
+                           q2_min, W2.shape[0], q2_stride))
+        layer_in += [jnp.tile(alpha1, p)[None, :],
+                     jnp.tile(alpha2, p)[None, :],
+                     W1, jnp.tile(b1, p)[None, :],
+                     W2, jnp.tile(b2, p)[None, :]]
+    layer_meta = tuple(layer_meta)
     R = tile // p
     n_tiles = Tp // tile
 
@@ -369,21 +435,16 @@ def fused_amp_layer(x, alpha1, w1, b1, alpha2, w2, b2, dilation: int,
 
     vspec = lambda shape: pl.BlockSpec(
         shape, lambda b, t: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
-    extra_specs = [vspec(m.shape) for m in extra_in]
     out = pl.pallas_call(
         functools.partial(
             _kernel, rows=R, halo=H, p=p, c=C, n_time=T,
-            q1_min=q1_min, k2_1=W1.shape[0], q1_stride=q1_stride,
-            q2_min=q2_min, k2_2=W2.shape[0], q2_stride=q2_stride,
+            layer_meta=layer_meta,
             mxu_bf16=mxu_bf16, fir_meta=fir_meta, ablate=ablate),
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * R, lanes), x.dtype),
         grid=(B, n_tiles),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            vspec((1, lanes)), vspec((1, lanes)),
-            vspec(W1.shape), vspec((1, lanes)),
-            vspec(W2.shape), vspec((1, lanes)),
-        ] + extra_specs,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [vspec(a.shape) for a in layer_in]
+        + [vspec(m.shape) for m in extra_in],
         out_specs=pl.BlockSpec((1, R, lanes), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -391,7 +452,5 @@ def fused_amp_layer(x, alpha1, w1, b1, alpha2, w2, b2, dilation: int,
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(xf, jnp.tile(alpha1, p)[None, :], jnp.tile(alpha2, p)[None, :],
-      W1, jnp.tile(b1, p)[None, :], W2, jnp.tile(b2, p)[None, :],
-      *extra_in)
+    )(xf, *layer_in, *extra_in)
     return out.reshape(B, Tp, C)[:, :T, :]

@@ -145,19 +145,31 @@ class AMPLayer(nn.Module):
 
 
 class AMPBlock(nn.Module):
-    """Stack of AMPLayers over one kernel size (`bigvgan.py:53-68`)."""
+    """Stack of AMPLayers over one kernel size (`bigvgan.py:53-68`).
+
+    Each layer runs as its own fused Pallas kernel (AMPLayer). Fusing the
+    WHOLE block into one kernel (ops.pallas.amp.fused_amp_block) was
+    measured and is a net LOSS here: chaining 3 layers in one tile
+    triples the halo rows recomputed per layer (k=11 d=(1,3,5) needs a
+    96-sample halo vs ~18 per layer), which outweighs the two saved
+    DMA/writeback floors (~0.09 ms each) — full vocoder 27.4 -> 29.8 ms.
+    The block kernel stays available (and parity-tested) for
+    small-kernel chains where the trade can flip."""
 
     channels: int
     kernel_size: int
     dilations: Sequence[int]
     conv_precision: str = "default"
 
-    @nn.compact
+    def setup(self):
+        self.layers = [
+            AMPLayer(self.channels, self.kernel_size, d,
+                     conv_precision=self.conv_precision)
+            for d in self.dilations]
+
     def __call__(self, x):
-        for i, d in enumerate(self.dilations):
-            x = AMPLayer(self.channels, self.kernel_size, d,
-                         conv_precision=self.conv_precision,
-                         name=f"layers_{i}")(x)
+        for layer in self.layers:
+            x = layer(x)
         return x
 
 

@@ -69,3 +69,31 @@ def test_fused_amp_mxu_bf16():
                           interpret=True, mxu_bf16=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-2,
                                rtol=1e-2)
+
+
+@pytest.mark.parametrize("T,C,k,dils,tile", [
+    (400, 32, 3, (1, 3, 5), 128),   # full MRF block shape, p=4
+    (200, 64, 7, (1, 3, 5), 64),    # p=2, short input (boundary-heavy)
+    (300, 128, 3, (1, 3), 128),     # p=1
+    (150, 256, 3, (1, 3, 5), 64),   # p=1, C>128 (stage-0 block)
+])
+def test_fused_amp_block_matches_layer_chain(T, C, k, dils, tile):
+    """A whole AMPBlock in ONE kernel == the chain of unfused layers."""
+    from promptttspp_tpu.ops.pallas.amp import fused_amp_block
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(1, T, C).astype(np.float32) * 0.3)
+    params, ref = [], x
+    for d in dils:
+        a1 = jnp.asarray(rng.randn(C).astype(np.float32) * 0.2)
+        a2 = jnp.asarray(rng.randn(C).astype(np.float32) * 0.2)
+        w1 = jnp.asarray(rng.randn(k, C, C).astype(np.float32) * 0.05)
+        w2 = jnp.asarray(rng.randn(k, C, C).astype(np.float32) * 0.05)
+        b1 = jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)
+        b2 = jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)
+        params.append((a1, w1, b1, a2, w2, b2))
+        ref = unfused(ref, a1, w1, b1, a2, w2, b2, d)
+    out = fused_amp_block(x, tuple(params), dils, tile=tile,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5,
+                               rtol=1e-3)
