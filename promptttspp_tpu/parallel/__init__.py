@@ -12,6 +12,7 @@ from promptttspp_tpu.parallel.mesh import (
     replicate_sharding,
     shard_batch,
 )
+from promptttspp_tpu.parallel.pp import denoise_pipelined
 from promptttspp_tpu.parallel.sp import decode_frames_sharded, frame_sharding
 from promptttspp_tpu.parallel.tp import (
     param_partition_spec,
@@ -22,6 +23,7 @@ from promptttspp_tpu.parallel.tp import (
 __all__ = [
     "batch_sharding",
     "decode_frames_sharded",
+    "denoise_pipelined",
     "frame_sharding",
     "host_batches",
     "init_distributed",
