@@ -18,7 +18,7 @@ TPU-first restructuring:
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -178,6 +178,16 @@ class GaussianDiffusion(nn.Module):
     # not the compute path. Default None = f32 (bit-identical to the
     # golden parity chain).
     infer_io_dtype: Optional[str] = None
+    # pipeline parallelism (parallel/pp.py): when pipeline_mesh is set,
+    # every epsilon prediction — the train-mode forward AND each sampling
+    # step — runs the DiffNet stack as an exact GPipe schedule over the
+    # mesh's 'model' axis. Static hyperparameters (a Mesh is hashable),
+    # injected by the trainer (train.mesh.pipeline_microbatches) or
+    # Synthesizer(decode_pipelined=True) via .clone(). batch_axis names a
+    # mesh axis to keep the batch dimension sharded over (DPxPP).
+    pipeline_mesh: Optional[Any] = None
+    pipeline_microbatches: Optional[int] = None
+    pipeline_batch_axis: Optional[str] = None
 
     def setup(self):
         if self.schedule_type == "linear":
@@ -226,11 +236,26 @@ class GaussianDiffusion(nn.Module):
             - self.sqrt_recipm1_alphas_cumprod[t][:, None, None] * noise
         )
 
-    def _eps(self, x, t, cond, cond_projs=None):
+    def _eps(self, x, t, cond, cond_projs=None, mask=None):
         """denoise_fn call; only DiffNet-style denoisers understand the
-        hoisted cond_projs kwarg (others, e.g. the U-Net, take none)."""
+        hoisted cond_projs kwarg (others, e.g. the U-Net, take none).
+        With pipeline_mesh set, routes through the exact GPipe schedule
+        (parallel/pp.py) instead — both in training (mask threaded
+        through every stage) and in the sampling scan."""
+        if self.pipeline_mesh is not None and not self.is_initializing():
+            # function-level import: parallel/pp.py imports ResidualBlock
+            # from this module, so a top-level import would be a cycle
+            from promptttspp_tpu.parallel.pp import denoise_pipelined
+
+            return denoise_pipelined(
+                self.pipeline_mesh, self.denoise_fn,
+                self.denoise_fn.variables["params"], x, t, cond, mask=mask,
+                n_microbatches=self.pipeline_microbatches,
+                batch_axis=self.pipeline_batch_axis)
         if cond_projs is None:
-            return self.denoise_fn(x, t, cond)
+            if mask is None:
+                return self.denoise_fn(x, t, cond)
+            return self.denoise_fn(x, t, cond, mask)
         return self.denoise_fn(x, t, cond, cond_projs=cond_projs)
 
     def p_sample(self, x, t, cond, noise, clip_denoised: bool = True,
@@ -264,7 +289,7 @@ class GaussianDiffusion(nn.Module):
             noise = jax.random.normal(
                 self.make_rng("diffusion"), x.shape, x.dtype)
         x_noisy = self.q_sample(x, t, noise)
-        eps_pred = self.denoise_fn(x_noisy, t, cond, mask)
+        eps_pred = self._eps(x_noisy, t, cond, mask=mask)
         return noise, eps_pred
 
     def inference(self, cond, g=None, rng=None, x_T=None,
@@ -289,8 +314,11 @@ class GaussianDiffusion(nn.Module):
         # scan restreams ~20 weight matrices per step x K steps
         if self.infer_io_dtype is not None:
             cond = cond.astype(jnp.dtype(self.infer_io_dtype))
+        # the pipelined path computes conditioner projections inside each
+        # stage (its weights travel as stage slabs), so skip the hoist
         cond_projs = (self.denoise_fn.precompute_cond(cond)
                       if hasattr(self.denoise_fn, "precompute_cond")
+                      and self.pipeline_mesh is None
                       else None)
         if cond_projs is not None and self.infer_io_dtype is not None:
             dt = jnp.dtype(self.infer_io_dtype)

@@ -20,20 +20,46 @@ Exactness: DiffNet's blocks form a pure chain — block i consumes block
 i-1's x and contributes an additive skip term (models/diffusion.py:146-
 153) — so staging the chain over devices is algebraically the identity.
 ``denoise_pipelined`` is tested bitwise-close against the single-device
-``DiffNet.__call__`` on an 8-virtual-device mesh (tests/test_pp.py).
+``DiffNet.__call__`` on an 8-virtual-device mesh (tests/test_pp.py),
+FORWARD AND BACKWARD: the schedule is built from differentiable lax
+primitives (scan, ppermute, scatter), so ``jax.grad`` through it equals
+single-device gradients — which is what makes it a *training* axis
+(GPipe's stated purpose: denoisers scaled past one chip's HBM).
+
+Integration points (non-test call sites):
+- training: ``GaussianDiffusion(pipeline_mesh=..., ...)`` routes the
+  train-mode epsilon prediction and the sampling loop through this
+  schedule (trainer knob ``train.mesh.pipeline_microbatches``);
+- serving: ``Synthesizer(decode_pipelined=True)``;
+- the driver gate ``__graft_entry__.dryrun_multichip`` runs a pipelined
+  train step and asserts its loss equals the unpipelined step's.
+
+DP composition: pass ``batch_axis="data"`` to keep the microbatch batch
+dimension sharded over the mesh's data axis (each data-parallel group
+pipelines its own shard over the model axis).
 
 When is this worth it? NOT for the flagship's 181 M params — DP/TP
 cover it. PP matters when the denoiser is scaled past one chip's HBM
 (more layers/channels), where stage-partitioned weights are the only
 placement that avoids replicating the whole stack; the schedule here is
 depth-agnostic (any ``residual_layers`` divisible into equal stages
-whose size is a multiple of the dilation cycle).
+whose size is a multiple of the dilation cycle). Note the current
+integration stacks the replicated params into stage slabs inside the
+program (weights still *live* replicated in the train state); the
+schedule, collectives, and gradients are the real thing, and a
+stage-resident parameter layout is a placement change on top, not a
+schedule change.
+
+A note on masking: ``DiffNet.__call__`` multiplies each block's
+pre-split output by the per-frame mask when one is given (training
+path, `models/diffusion.py:94-95`); ``mask`` here is threaded through
+every stage the same way (microbatched like ``cond``), so masked
+(training-style) forwards are exact too.
 """
 
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -41,8 +67,6 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from jax import shard_map
-
-from promptttspp_tpu.models.diffusion import ResidualBlock
 
 
 def _stack_layer_params(params, n_layers: int, n_stages: int):
@@ -67,36 +91,84 @@ def _dense(p, x):
     return x @ p["kernel"] + p["bias"]
 
 
-def denoise_pipelined(mesh: Mesh, diffnet, params, x, t, cond,
-                      n_microbatches: int | None = None):
-    """Run ``diffnet.apply({'params': params}, x, t, cond)`` with the
-    residual stack pipeline-partitioned over ``mesh``'s ``model`` axis.
+def _conv1d_p(p, x, dilation: int = 1):
+    """The same lax primitive flax's nn.Conv lowers to (NWC/WIO, SAME),
+    applied from a raw params dict — denoise_pipelined is pure jnp
+    because flax forbids instantiating modules inside a bound method
+    (the integration calls this from within GaussianDiffusion.apply)."""
+    y = lax.conv_general_dilated(
+        x, p["kernel"], window_strides=(1,), padding="SAME",
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"))
+    return y + p["bias"] if "bias" in p else y
 
-    x [B, T, in_dim] noisy mel, t [B] diffusion step, cond [B, T, H].
+
+def _sinusoidal_emb(t, dim: int, scale: float):
+    """SinusoidalPosEmb (models/diffusion.py:44-56), parameter-free."""
+    half = dim // 2
+    emb = math.log(10000.0) / (half - 1)
+    freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -emb)
+    arg = scale * t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(arg), jnp.cos(arg)], axis=-1)
+
+
+def _block_apply(p, x, cond, t_emb, mask, dilation: int):
+    """ResidualBlock.__call__ (models/diffusion.py:83-97) from raw
+    params: dilated conv + gated tanh/sigmoid + conditioner, per-frame
+    mask applied before the residual/skip split."""
+    step = _dense(p["diffusion_projection"], t_emb)[:, None, :]
+    cond_p = _conv1d_p(p["conditioner_projection"], cond)
+    y = x + step
+    y = _conv1d_p(p["dilated_conv"], y, dilation) + cond_p
+    gate, filt = jnp.split(y, 2, axis=-1)
+    y = jax.nn.sigmoid(gate) * jnp.tanh(filt)
+    y = _conv1d_p(p["output_projection"], y)
+    if mask is not None:
+        y = y * mask
+    residual, skip = jnp.split(y, 2, axis=-1)
+    return (x + residual) / math.sqrt(2.0), skip
+
+
+def denoise_pipelined(mesh: Mesh, diffnet, params, x, t, cond, mask=None,
+                      n_microbatches: int | None = None,
+                      batch_axis: str | None = None):
+    """Run ``diffnet.apply({'params': params}, x, t, cond, mask)`` with
+    the residual stack pipeline-partitioned over ``mesh``'s ``model``
+    axis.
+
+    x [B, T, in_dim] noisy mel, t [B] diffusion step, cond [B, T, H],
+    mask [B, T, 1] or None (per-frame mask applied inside every residual
+    block, exactly like the single-device forward).
     B must be divisible by ``n_microbatches`` (default: one microbatch
     per stage); ``residual_layers`` must split into equal stages whose
     size is a multiple of ``dilation_cycle_length`` (the dilation of a
     block then depends only on its in-stage slot, keeping every stage's
     program identical and the conv dilations static).
+
+    batch_axis: a mesh axis name (e.g. ``"data"``) to keep the batch
+    dimension of the activations sharded over while pipelining over
+    ``model`` — the DPxPP composition. None = batch replicated.
     """
     S = mesh.shape["model"]
     L = diffnet.residual_layers
     cycle = diffnet.dilation_cycle_length
-    assert L % S == 0, f"{L} layers not divisible into {S} stages"
+    # user-input contract checks: ValueError, not assert (asserts vanish
+    # under python -O and these must stay loud)
+    if L % S != 0:
+        raise ValueError(f"{L} layers not divisible into {S} stages")
     per_stage = L // S
-    assert per_stage % cycle == 0 or S == 1, (
-        f"stage size {per_stage} must be a multiple of the dilation "
-        f"cycle {cycle} so per-slot dilations are stage-invariant")
+    if per_stage % cycle != 0 and S != 1:
+        raise ValueError(
+            f"stage size {per_stage} must be a multiple of the dilation "
+            f"cycle {cycle} so per-slot dilations are stage-invariant")
     M = n_microbatches or S
     B = x.shape[0]
-    assert B % M == 0, f"batch {B} not divisible into {M} microbatches"
+    if B % M != 0:
+        raise ValueError(f"batch {B} not divisible into {M} microbatches")
 
     # ---- replicated prologue: input projection + step embedding MLP
     h = jax.nn.relu(_conv1x1(params["input_projection"], x))
-    # SinusoidalPosEmb is parameter-free; instantiate it directly
-    from promptttspp_tpu.models.diffusion import SinusoidalPosEmb
-    t_emb = SinusoidalPosEmb(
-        diffnet.residual_channels, diffnet.scale).apply({}, t)
+    t_emb = _sinusoidal_emb(t, diffnet.residual_channels, diffnet.scale)
     t_emb = _dense(params["mlp_0"], t_emb)
     t_emb = t_emb * jnp.tanh(jax.nn.softplus(t_emb))  # mish
     t_emb = _dense(params["mlp_2"], t_emb)
@@ -105,25 +177,22 @@ def denoise_pipelined(mesh: Mesh, diffnet, params, x, t, cond,
     h_mb = h.reshape((M, mb) + h.shape[1:])
     cond_mb = cond.reshape((M, mb) + cond.shape[1:])
     temb_mb = t_emb.reshape((M, mb) + t_emb.shape[1:])
+    mask_mb = (None if mask is None
+               else mask.reshape((M, mb) + mask.shape[1:]))
 
     slabs = _stack_layer_params(params, L, S)
-    blocks = [
-        ResidualBlock(diffnet.encoder_hidden_dim, diffnet.residual_channels,
-                      diffnet.kernel_size, 2 ** (j % cycle))
-        for j in range(per_stage)
-    ]
 
-    def stage_apply(slab, y, c, te):
+    def stage_apply(slab, y, c, te, m):
         skip_sum = jnp.zeros_like(y)
-        for j, block in enumerate(blocks):
+        for j in range(per_stage):
             pj = jax.tree.map(lambda a: a[j], slab)
-            y, skip = block.apply({"params": pj}, y, c, te)
+            y, skip = _block_apply(pj, y, c, te, m, 2 ** (j % cycle))
             skip_sum = skip_sum + skip
         return y, skip_sum
 
     perm = [(i, (i + 1) % S) for i in range(S)]
 
-    def pipeline(slab, h_s, cond_s, temb_s):
+    def pipeline(slab, h_s, cond_s, temb_s, mask_s):
         slab = jax.tree.map(lambda a: a[0], slab)  # [1, per_stage,...]->[ps]
         s = lax.axis_index("model")
         zero = jnp.zeros_like(h_s[0])
@@ -135,7 +204,9 @@ def denoise_pipelined(mesh: Mesh, diffnet, params, x, t, cond,
             feed = jnp.clip(tk, 0, M - 1)  # stage 0 injects microbatch tk
             y0 = jnp.where(s == 0, h_s[feed], in_x)
             sk0 = jnp.where(s == 0, jnp.zeros_like(in_skip), in_skip)
-            y, skip_add = stage_apply(slab, y0, cond_s[mc], temb_s[mc])
+            y, skip_add = stage_apply(
+                slab, y0, cond_s[mc], temb_s[mc],
+                None if mask_s is None else mask_s[mc])
             sk = sk0 + skip_add
             write = (m >= 0) & (m < M) & (s == S - 1)
             out_skip = out_skip.at[mc].set(
@@ -151,12 +222,25 @@ def denoise_pipelined(mesh: Mesh, diffnet, params, x, t, cond,
         return lax.psum(
             jnp.where(s == S - 1, 1.0, 0.0) * out_skip, "model")
 
-    spec_rep = P()
+    act_spec = P(None, batch_axis) if batch_axis else P()
+    in_specs = [P("model"), act_spec, act_spec, act_spec,
+                None if mask_mb is None else act_spec]
+    args = [slabs, h_mb, cond_mb, temb_mb, mask_mb]
+    if mask_mb is None:
+        # shard_map specs must mirror the arg pytree; drop the None leaf
+        in_specs = in_specs[:-1]
+        args = args[:-1]
+
+        def pipeline_fn(slab, h_s, cond_s, temb_s):
+            return pipeline(slab, h_s, cond_s, temb_s, None)
+    else:
+        pipeline_fn = pipeline
+
     skip_sum = shard_map(
-        pipeline, mesh=mesh,
-        in_specs=(P("model"), spec_rep, spec_rep, spec_rep),
-        out_specs=spec_rep, check_vma=False,
-    )(slabs, h_mb, cond_mb, temb_mb)
+        pipeline_fn, mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=act_spec, check_vma=False,
+    )(*args)
 
     # ---- replicated epilogue (`models/diffusion.py:153-156`)
     out = skip_sum.reshape((B,) + skip_sum.shape[2:]) / math.sqrt(L)

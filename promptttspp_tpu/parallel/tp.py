@@ -83,8 +83,12 @@ def _place(leaf, sharding: NamedSharding):
     return jax.device_put(leaf, sharding)
 
 
-def shard_params(params, mesh: Mesh):
-    """Place each leaf with its TP spec (replicated where P())."""
+def shard_params(params, mesh: Mesh, replicate_under: Tuple[str, ...] = ()):
+    """Place each leaf with its TP spec (replicated where P()).
+
+    replicate_under: subtree names forced to replication regardless of
+    their TP spec — e.g. ("denoise_fn",) when the decoder stack is
+    pipeline-partitioned instead (parallel/pp.py)."""
     if jax.process_count() > 1:
         assert model_axis_is_host_local(mesh), (
             "multi-host TP needs the model axis within a host "
@@ -92,18 +96,21 @@ def shard_params(params, mesh: Mesh):
 
     def place(path, leaf):
         names = tuple(str(getattr(k, "key", k)) for k in path)
-        spec = param_partition_spec(names, leaf)
+        if any(r in names for r in replicate_under):
+            spec = P()
+        else:
+            spec = param_partition_spec(names, leaf)
         return _place(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
 
 
-def shard_state(state, mesh: Mesh):
+def shard_state(state, mesh: Mesh, replicate_under: Tuple[str, ...] = ()):
     """Apply TP placement to params and matching placement to opt_state
     (zeros_like trees inherit via re-placement of same-shaped leaves).
     Works single- AND multi-process (see _place): with model axis 1 this
     doubles as the multi-host state replicator."""
-    params = shard_params(state.params, mesh)
+    params = shard_params(state.params, mesh, replicate_under)
     replicated = NamedSharding(mesh, P())
     batch_stats = jax.tree.map(
         lambda x: _place(x, replicated), state.batch_stats)

@@ -191,12 +191,27 @@ class TTSTrainer:
         n_data = mesh.shape["data"]
         model = self._build_model()
 
+        # pipeline parallelism over the decoder's residual stack
+        # (parallel/pp.py): train.mesh.pipeline_microbatches=M routes
+        # every epsilon prediction through the exact GPipe schedule on
+        # the mesh's 'model' axis, composed with DP on 'data'. Requires a
+        # GaussianDiffusion decoder; batches must split into M
+        # microbatches on top of the data-axis multiple.
+        pp_micro = int(cfg.select("train.mesh.pipeline_microbatches", 0)
+                       or 0)
+        if pp_micro:
+            model = model.clone(decoder=model.decoder.clone(
+                pipeline_mesh=mesh, pipeline_microbatches=pp_micro,
+                pipeline_batch_axis="data"))
+            self._model = model
+        batch_mult = n_data * max(1, pp_micro)
+
         collator = PromptTTSCollator(tokenizer=self.tokenizer)
-        sampler = self._batches(self.train_ds, True, seed, n_data)
+        sampler = self._batches(self.train_ds, True, seed, batch_mult)
 
         # init from the first batch's shapes
         first = collator([self.train_ds[i] for i in next(iter(sampler))])
-        first = pad_batch_to_multiple(first, n_data)
+        first = pad_batch_to_multiple(first, batch_mult)
 
         rng = jax.random.PRNGKey(seed)
         tx = make_optimizer(
@@ -226,7 +241,12 @@ class TTSTrainer:
             # the standard pod layout, data across hosts)
             from promptttspp_tpu.parallel.tp import shard_state
 
-            state = shard_state(state, mesh)
+            # with the decoder pipelined over the model axis, its params
+            # are stage-partitioned inside the schedule — keep them out
+            # of the TP matmul sharding (the two placements conflict)
+            state = shard_state(
+                state, mesh,
+                replicate_under=("denoise_fn",) if pp_micro else ())
 
         n_params = sum(x.size for x in jax.tree.leaves(state.params))
         self.logger.info(f"number of trainable params: {n_params / 1e6:.3f} M")
@@ -278,7 +298,7 @@ class TTSTrainer:
         # are resumable from the crash point.
         try:
             state = self._train_loop(
-                state, sampler, collator, mesh, n_data, train_step,
+                state, sampler, collator, mesh, batch_mult, train_step,
                 eval_step, step_rng, start_epoch, num_epochs, save_interval,
                 tracker, global_step, profile_steps, profile_dir)
         except Exception:
