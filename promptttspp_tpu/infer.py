@@ -42,6 +42,10 @@ class Synthesizer:
         upsample: int = 240,
         frame_sharded_decode: bool = False,
         decode_param_dtype: Optional[str] = None,
+        decode_pipelined: bool = False,
+        pipeline_microbatches: int = 1,
+        speculative: bool = False,
+        spec_frames_per_phone: float = 10.0,
     ):
         """vocoder_mode: "batched" (one call over the utterance batch),
         "chunked" (fold fixed-size mel chunks into the batch axis — one
@@ -50,8 +54,39 @@ class Synthesizer:
 
         frame_sharded_decode: run the 100-step diffusion decode with the
         frame axis sharded over ``mesh``'s data axis (parallel/sp.py) —
-        exact sequence parallelism for long utterances."""
+        exact sequence parallelism for long utterances.
+
+        decode_pipelined: run every denoiser call of the decode as the
+        exact GPipe schedule over ``mesh``'s model axis (parallel/pp.py)
+        — for denoisers scaled past one chip's HBM. Batch must divide
+        into ``pipeline_microbatches``.
+
+        speculative: collapse a request to ONE device dispatch. The
+        default (two-phase) request pays a duration pre-pass plus a
+        blocking ``frame_lens`` readback — a full host<->device RTT —
+        before the fused program can even be dispatched. Speculative
+        mode instead predicts the frame bucket on the host from the
+        phone count (``spec_frames_per_phone`` frames per phone, ~10 =
+        100 ms/phone covers normal speech) and dispatches the fused
+        text->wav program immediately; the program itself returns the
+        UNCLIPPED duration sums, so one readback both delivers the audio
+        and verifies the prediction. On overflow (true frames > bucket)
+        the request transparently re-runs at the right bucket — always
+        correct, just slower for that request (track via
+        ``spec_mispredicts``/``spec_requests``). Note the diffusion
+        noise tensor is drawn at the bucket shape, so a speculatively
+        larger bucket yields a different (equally valid) sample than the
+        exact-bucket dispatch would — the same class of shape-dependence
+        the frame quantum already introduces."""
         assert vocoder_mode in ("batched", "chunked", "sharded")
+        if decode_pipelined:
+            if mesh is None:
+                from promptttspp_tpu.parallel.mesh import make_mesh
+
+                mesh = make_mesh()
+            model = model.clone(decoder=model.decoder.clone(
+                pipeline_mesh=mesh,
+                pipeline_microbatches=pipeline_microbatches))
         self.model = model
         if decode_param_dtype is not None:
             # bf16-stored denoiser weights: the 100-step scan re-streams
@@ -85,6 +120,10 @@ class Synthesizer:
         self.halo_frames = halo_frames
         self.upsample = upsample
         self.frame_sharded_decode = frame_sharded_decode
+        self.speculative = speculative
+        self.spec_frames_per_phone = float(spec_frames_per_phone)
+        self.spec_requests = 0
+        self.spec_mispredicts = 0
         if (vocoder_mode == "sharded" or frame_sharded_decode) \
                 and mesh is None:
             from promptttspp_tpu.parallel.mesh import make_mesh
@@ -98,7 +137,8 @@ class Synthesizer:
                                static_argnames=("use_max",))
         self._infer_fn = jax.jit(
             self._infer_pass,
-            static_argnames=("max_frames", "use_max", "noise_scale"))
+            static_argnames=("max_frames", "use_max", "noise_scale",
+                             "zero_noise"))
         self._cond_fn = jax.jit(
             self._cond_pass,
             static_argnames=("max_frames", "use_max", "noise_scale"))
@@ -115,7 +155,8 @@ class Synthesizer:
         if vocoder is not None:
             self._full_fn = jax.jit(
                 self._full_pass,
-                static_argnames=("max_frames", "use_max", "noise_scale"))
+                static_argnames=("max_frames", "use_max", "noise_scale",
+                                 "zero_noise"))
         self._mel_fn = None
         if to_mel is not None:
             self._mel_fn = jax.jit(to_mel.to_mel)
@@ -138,29 +179,34 @@ class Synthesizer:
 
     def _infer_pass(self, variables, phoneme, phone_lengths, prompt_ids,
                     prompt_mask, reference_mel, ref_lengths, use_max,
-                    noise_scale, style_rng, diffusion_rng, max_frames):
+                    noise_scale, style_rng, diffusion_rng, max_frames,
+                    x_T=None, zero_noise=False):
         return self.model.apply(
             variables, phoneme, phone_lengths, max_frames,
             prompt_ids=prompt_ids, prompt_mask=prompt_mask,
             reference_mel=reference_mel, ref_lengths=ref_lengths,
             use_max=use_max, noise_scale=noise_scale,
             style_rng=style_rng, diffusion_rng=diffusion_rng,
-            return_f0=True, method=type(self.model).infer)
+            x_T=x_T, zero_noise=zero_noise,
+            return_f0=True, return_raw_lengths=True,
+            method=type(self.model).infer)
 
     def _full_pass(self, variables, voc_variables, phoneme, phone_lengths,
                    prompt_ids, prompt_mask, reference_mel, ref_lengths,
                    use_max, noise_scale, style_rng, diffusion_rng,
-                   max_frames):
+                   max_frames, x_T=None, zero_noise=False):
         """text -> wav in one compiled program: infer + F0 post + mel
-        denorm + vocoder, no host round-trips between stages."""
-        mel, flens, log_cf0, vuv = self._infer_pass(
+        denorm + vocoder, no host round-trips between stages. Also
+        returns the unclipped duration sums so the speculative path can
+        verify its bucket prediction from the same dispatch."""
+        mel, flens, log_cf0, vuv, raw_lens = self._infer_pass(
             variables, phoneme, phone_lengths, prompt_ids, prompt_mask,
             reference_mel, ref_lengths, use_max, noise_scale, style_rng,
-            diffusion_rng, max_frames)
+            diffusion_rng, max_frames, x_T=x_T, zero_noise=zero_noise)
         f0, mel_denorm = self._postprocess(mel, log_cf0, vuv)
         wav = self.vocoder.apply(voc_variables, mel_denorm, f0,
                                  deterministic=True)
-        return wav, mel_denorm, flens
+        return wav, mel_denorm, flens, raw_lens
 
     def _postprocess(self, mel, log_cf0, vuv):
         """F0 smoothing + vuv gating (`app.py:76-79`) and mel
@@ -235,10 +281,22 @@ class Synthesizer:
         use_max: bool = True,
         noise_scale: float = 0.5,
         seed: int = 0,
+        return_mels: bool = True,
+        x_T=None,
+        zero_noise: bool = False,
     ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
         """Synthesize with EXACTLY ONE of style-prompt strings,
         raw log-mel references [T,80], or 24 kHz reference wavs.
-        Returns (list of wav float arrays, list of mel [T,80] arrays)."""
+        Returns (list of wav float arrays, list of mel [T,80] arrays).
+
+        return_mels=False skips the mel device->host transfer (returns
+        ``[]`` for mels) — on serving setups where the host link is the
+        bottleneck, the ~200 KB/utt mel readback is pure latency.
+
+        x_T / zero_noise inject a fixed initial diffusion state and zero
+        the ancestral noise — deterministic hooks for parity tests
+        (tests/test_e2e_wav_parity.py); x_T must match the exact frame
+        bucket, so these route through the two-phase path."""
         n_cond = sum(x is not None
                      for x in (prompts, reference_mels, reference_wavs))
         assert n_cond == 1, (
@@ -256,6 +314,52 @@ class Synthesizer:
         style_rng = jax.random.PRNGKey(seed)
         diffusion_rng = jax.random.PRNGKey(seed + 1)
 
+        fused_ok = (self._full_fn is not None
+                    and self.vocoder_mode == "batched"
+                    and not self.frame_sharded_decode)
+
+        if fused_ok and self.speculative and x_T is None:
+            # ONE-dispatch request: predict the frame bucket from the
+            # phone count, dispatch the fused program immediately, and
+            # let its own unclipped duration sums verify the prediction
+            # in the same readback that delivers the audio.
+            self.spec_requests += 1
+            pred = min(
+                bucket_shape(
+                    max(1, int(np.ceil(float(np.max(np.asarray(plens)))
+                                       * self.spec_frames_per_phone))),
+                    self.frame_quantum),
+                self.max_frames_cap)
+            wav, mel_denorm, flens, raw = self._full_fn(
+                self.variables, self.vocoder_variables, phoneme, plens,
+                prompt_ids, prompt_mask, ref_mel, ref_lens, use_max,
+                noise_scale, style_rng, diffusion_rng, max_frames=pred)
+            if not return_mels:
+                mel_denorm = None
+            wav, mel_denorm, flens, raw = jax.device_get(
+                (wav, mel_denorm, flens, raw))
+            if int(raw.max()) > pred and pred < self.max_frames_cap:
+                # bucket overflow: re-run at the true bucket (correct,
+                # just slower for this request)
+                self.spec_mispredicts += 1
+                mf = min(bucket_shape(int(raw.max()), self.frame_quantum),
+                         self.max_frames_cap)
+                wav, mel_denorm, flens, raw = self._full_fn(
+                    self.variables, self.vocoder_variables, phoneme, plens,
+                    prompt_ids, prompt_mask, ref_mel, ref_lens, use_max,
+                    noise_scale, style_rng, diffusion_rng, max_frames=mf)
+                if not return_mels:
+                    mel_denorm = None
+                wav, mel_denorm, flens, raw = jax.device_get(
+                    (wav, mel_denorm, flens, raw))
+            wavs, mels = [], []
+            for i in range(len(phoneme_seqs)):
+                n = int(flens[i])
+                if return_mels:
+                    mels.append(np.asarray(mel_denorm[i, :n]))
+                wavs.append(np.asarray(wav[i, : n * self.upsample, 0]))
+            return wavs, mels
+
         frame_lens = self._dur_fn(self.variables, phoneme, plens, prompt_ids,
                                   prompt_mask, ref_mel, ref_lens, use_max,
                                   style_rng)
@@ -264,15 +368,14 @@ class Synthesizer:
                          self.frame_quantum),
             self.max_frames_cap)
 
-        if (self._full_fn is not None and self.vocoder_mode == "batched"
-                and not self.frame_sharded_decode):
+        if fused_ok:
             # fused request: dispatch #2 of 2 (after the duration
             # pre-pass) runs the whole acoustic+post+vocoder program
-            wav, mel_denorm, flens = self._full_fn(
+            wav, mel_denorm, flens, _raw = self._full_fn(
                 self.variables, self.vocoder_variables, phoneme, plens,
                 prompt_ids, prompt_mask, ref_mel, ref_lens, use_max,
                 noise_scale, style_rng, diffusion_rng,
-                max_frames=max_frames)
+                max_frames=max_frames, x_T=x_T, zero_noise=zero_noise)
             wav_np = np.asarray(wav)
             mel_np = np.asarray(mel_denorm)
             flens_np = np.asarray(flens)
@@ -288,7 +391,7 @@ class Synthesizer:
             # 100-step decode sharded along frames (parallel/sp.py)
             from promptttspp_tpu.parallel.sp import decode_frames_sharded
 
-            cond, flens, frame_mask, log_cf0, vuv = self._cond_fn(
+            cond, flens, frame_mask, log_cf0, vuv, _raw = self._cond_fn(
                 self.variables, phoneme, plens, prompt_ids, prompt_mask,
                 ref_mel, ref_lens, use_max, noise_scale, style_rng,
                 max_frames=max_frames)
@@ -297,10 +400,11 @@ class Synthesizer:
                 diffusion_rng=diffusion_rng)
             mel = mel * frame_mask[:, :, None].astype(mel.dtype)
         else:
-            mel, flens, log_cf0, vuv = self._infer_fn(
+            mel, flens, log_cf0, vuv, _raw = self._infer_fn(
                 self.variables, phoneme, plens, prompt_ids, prompt_mask,
                 ref_mel, ref_lens, use_max, noise_scale, style_rng,
-                diffusion_rng, max_frames=max_frames)
+                diffusion_rng, max_frames=max_frames, x_T=x_T,
+                zero_noise=zero_noise)
 
         f0, mel_denorm = self._postprocess(mel, log_cf0, vuv)
 

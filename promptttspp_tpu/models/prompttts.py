@@ -183,23 +183,32 @@ class PromptTTSMDNDurCFG(nn.Module):
         diffusion_rng=None,
         x_T=None,
         zero_noise: bool = False,
+        return_raw_lengths: bool = False,
     ):
         """Batched inference (`model.py:261-325` infer_batch) with static
-        ``max_frames``. Returns (mel, frame_lengths[, log_cf0, vuv])."""
-        x, frame_lengths, frame_mask, log_cf0, vuv = self.infer_cond(
-            phoneme, phone_lengths, max_frames,
-            prompt_ids=prompt_ids, prompt_mask=prompt_mask,
-            reference_mel=reference_mel, ref_lengths=ref_lengths,
-            use_max=use_max, noise_scale=noise_scale, style_rng=style_rng)
+        ``max_frames``. Returns (mel, frame_lengths[, log_cf0, vuv]
+        [, raw_frame_lengths]) — raw lengths are the unclipped duration
+        sums (speculative serving reads them to detect bucket overflow
+        without a separate duration pre-pass, infer.py)."""
+        x, frame_lengths, frame_mask, log_cf0, vuv, raw_lens = \
+            self.infer_cond(
+                phoneme, phone_lengths, max_frames,
+                prompt_ids=prompt_ids, prompt_mask=prompt_mask,
+                reference_mel=reference_mel, ref_lengths=ref_lengths,
+                use_max=use_max, noise_scale=noise_scale,
+                style_rng=style_rng)
         fmask = frame_mask[:, :, None].astype(jnp.float32)
 
         mel = self.decoder.inference(x, rng=diffusion_rng, x_T=x_T,
                                      zero_noise=zero_noise)
         mel = mel * fmask
 
+        out = (mel, frame_lengths)
         if return_f0:
-            return mel, frame_lengths, log_cf0, vuv
-        return mel, frame_lengths
+            out = out + (log_cf0, vuv)
+        if return_raw_lengths:
+            out = out + (raw_lens,)
+        return out
 
     def infer_cond(
         self,
@@ -215,10 +224,10 @@ class PromptTTSMDNDurCFG(nn.Module):
         style_rng=None,
     ):
         """Everything up to (but excluding) the diffusion decoder:
-        -> (cond [B,Tf,C], frame_lengths, frame_mask, log_cf0, vuv).
-        Split out so the frame-level decode can run separately — e.g.
-        sharded over the mesh's data axis for long utterances
-        (parallel/sp.py; SURVEY §5.7c)."""
+        -> (cond [B,Tf,C], frame_lengths, frame_mask, log_cf0, vuv,
+        raw_frame_lengths). Split out so the frame-level decode can run
+        separately — e.g. sharded over the mesh's data axis for long
+        utterances (parallel/sp.py; SURVEY §5.7c)."""
         assert (prompt_ids is not None) ^ (reference_mel is not None), \
             "exactly one of style inputs must be given"
 

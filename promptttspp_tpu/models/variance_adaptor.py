@@ -161,14 +161,20 @@ class VarianceAdaptor(nn.Module):
     def infer(self, x, phone_mask, max_frames: int, train: bool = False):
         """Batched inference (`infer_batch`, `:178-206`) with static
         ``max_frames``. Returns (x [B,max_frames,C], frame_lengths [B],
-        frame_mask bool, log_cf0, vuv)."""
+        frame_mask bool, log_cf0, vuv, raw_frame_lengths [B]).
+
+        ``raw_frame_lengths`` is the UNCLIPPED duration sum — equal to
+        ``frame_lengths`` unless the utterance overflowed ``max_frames``.
+        The speculative single-dispatch serving path (infer.py) reads it
+        to detect a frame-bucket misprediction without a separate
+        duration pre-pass."""
         pmask = phone_mask[:, :, None].astype(x.dtype)
         log_duration = self.duration_predictor.infer_log_duration(x, pmask)
         duration = jnp.clip(jnp.round(jnp.exp(log_duration)), 1, None)
         duration = (duration[..., 0] * phone_mask).astype(jnp.int32)  # [B,Tp]
 
-        frame_lengths = jnp.sum(duration, axis=-1)
-        frame_lengths = jnp.minimum(frame_lengths, max_frames)
+        raw_frame_lengths = jnp.sum(duration, axis=-1)
+        frame_lengths = jnp.minimum(raw_frame_lengths, max_frames)
         frame_mask = sequence_mask(frame_lengths, max_frames)
         fmask = frame_mask[:, :, None].astype(x.dtype)
 
@@ -186,4 +192,4 @@ class VarianceAdaptor(nn.Module):
             energy_e = self.energy_emb(energy) * fmask
 
         x = x + pitch + energy_e
-        return x, frame_lengths, frame_mask, log_cf0, vuv
+        return x, frame_lengths, frame_mask, log_cf0, vuv, raw_frame_lengths

@@ -64,7 +64,7 @@ def main():
             if upto == "style":
                 return style_emb
             x = x + style_emb
-            x, flens, fmask, log_cf0, vuv = mdl.variance_adaptor.infer(
+            x, flens, fmask, log_cf0, vuv, _raw = mdl.variance_adaptor.infer(
                 x, phone_mask, frames)
             if upto == "variance":
                 return x

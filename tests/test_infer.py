@@ -169,6 +169,103 @@ def test_sharded_vocoder_mode_matches_batched(tiny):
                                        b[margin:-margin], atol=5e-3)
 
 
+def _tiny_vocoder():
+    from promptttspp_tpu.vocoders.bigvgan_f0 import F0AwareBigVGAN
+
+    voc = F0AwareBigVGAN(
+        sampling_rate=24000, harmonic_num=2, in_channel=MEL,
+        upsample_initial_channel=16,
+        upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+        resblock_kernel_sizes=(3,), resblock_dilations=((1, 2),))
+    voc_vars = voc.init(jax.random.PRNGKey(2), jnp.zeros((1, 16, MEL)),
+                        jnp.zeros((1, 16, 1)), deterministic=True)
+    return voc, voc_vars
+
+
+def test_speculative_single_dispatch_matches_two_phase(tiny):
+    """Speculative serving (ONE dispatch, bucket predicted from the
+    phone count) returns bitwise the two-phase result when the predicted
+    bucket lands on the same frame bucket the duration pre-pass picks."""
+    import tests.test_train as tt
+
+    model, variables, ds = tiny
+    voc, voc_vars = _tiny_vocoder()
+    seqs = [list(ds[i]["phonemes"]) for i in range(2)]
+    prompts = ["a low calm voice", "bright fast speech"]
+    kw = dict(vocoder=voc, vocoder_variables=voc_vars,
+              tokenizer=tt.TokenHashTokenizer(),
+              mel_stats={"mean": MEAN, "std": STD},
+              frame_quantum=64, max_frames_cap=512, upsample=8)
+    two_phase = Synthesizer(model, variables, **kw)
+    wav_ref, mel_ref = two_phase.synthesize(seqs, prompts=prompts, seed=2)
+
+    # pick the per-phone ratio so prediction == the exact bucket
+    exact_bucket = bucket_shape(max(m.shape[0] for m in mel_ref), 64)
+    ratio = exact_bucket / max(len(s) for s in seqs)
+    spec = Synthesizer(model, variables, speculative=True,
+                       spec_frames_per_phone=ratio, **kw)
+    wav_s, mel_s = spec.synthesize(seqs, prompts=prompts, seed=2)
+    assert spec.spec_requests == 1 and spec.spec_mispredicts == 0
+    for a, b in zip(wav_ref, wav_s):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(mel_ref, mel_s):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_speculative_mispredict_redispatches_correctly(tiny):
+    """A too-small bucket prediction is detected from the fused
+    program's own unclipped duration sums and transparently re-run at
+    the true bucket — the result equals the two-phase request exactly."""
+    import tests.test_train as tt
+
+    model, variables, ds = tiny
+    voc, voc_vars = _tiny_vocoder()
+    seqs = [list(ds[i]["phonemes"]) for i in range(2)]
+    prompts = ["a low calm voice", "bright fast speech"]
+    kw = dict(vocoder=voc, vocoder_variables=voc_vars,
+              tokenizer=tt.TokenHashTokenizer(),
+              mel_stats={"mean": MEAN, "std": STD},
+              frame_quantum=16, max_frames_cap=512, upsample=8)
+    two_phase = Synthesizer(model, variables, **kw)
+    wav_ref, mel_ref = two_phase.synthesize(seqs, prompts=prompts, seed=2)
+    assert max(m.shape[0] for m in mel_ref) > 16  # overflow is real
+
+    spec = Synthesizer(model, variables, speculative=True,
+                       spec_frames_per_phone=0.01, **kw)
+    wav_s, mel_s = spec.synthesize(seqs, prompts=prompts, seed=2)
+    assert spec.spec_mispredicts == 1
+    for a, b in zip(wav_ref, wav_s):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(mel_ref, mel_s):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_decode_pipelined_knob(tiny):
+    """Synthesizer(decode_pipelined=True) routes the decode through the
+    GPipe schedule (multi-stage exactness is pinned in tests/test_pp.py;
+    this exercises the serving knob end-to-end on the mesh)."""
+    import tests.test_train as tt
+
+    from promptttspp_tpu.parallel.mesh import make_mesh
+
+    model, variables, ds = tiny
+    seqs = [list(ds[i]["phonemes"]) for i in range(2)]
+    prompts = ["a low calm voice", "bright fast speech"]
+    kw = dict(tokenizer=tt.TokenHashTokenizer(),
+              mel_stats={"mean": MEAN, "std": STD},
+              frame_quantum=64, max_frames_cap=512)
+    plain = Synthesizer(model, variables, **kw)
+    # tiny decoder: 2 layers, cycle 2 -> one stage holds the whole cycle
+    piped = Synthesizer(model, variables, decode_pipelined=True,
+                        pipeline_microbatches=2,
+                        mesh=make_mesh(data=8, model=1), **kw)
+    _, mel_ref = plain.synthesize(seqs, prompts=prompts, seed=4)
+    _, mel_pp = piped.synthesize(seqs, prompts=prompts, seed=4)
+    for a, b in zip(mel_ref, mel_pp):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5)
+
+
 def test_conditioning_xor(tiny):
     model, variables, ds = tiny
     synth = _make_synth(model, variables)

@@ -33,7 +33,7 @@ def model_vars_cond():
 
     # frame-level conditioner from the real infer_cond path, Tf a
     # multiple of the 8-device data axis
-    cond, flens, fmask, log_cf0, vuv = model.apply(
+    cond, flens, fmask, log_cf0, vuv, _raw = model.apply(
         variables,
         jnp.asarray(mb["phoneme"]), jnp.asarray(mb["phone_lengths"]), 64,
         prompt_ids=jnp.asarray(mb["prompt_ids"]),
