@@ -164,10 +164,18 @@ class EncoderLayer(nn.Module):
         self.dropout = nn.Dropout(self.dropout_rate)
 
     def __call__(self, x, pos_emb, attn_mask, mask_, train: bool = False,
-                 row_weight=None):
+                 row_weight=None, cache=None):
         """x [B,T,C]; pos_emb [1,P,C] or None; attn_mask bool [B,T,T];
         mask_ float [B,T,1]; row_weight [B] float or None (BatchNorm
-        row exclusion, see ConvolutionModule)."""
+        row exclusion, see ConvolutionModule).
+
+        cache [B,T-1,C]: streaming decode step (`encoder_layer.py:114-120`)
+        — attention queries only the LAST frame (keys/values over the
+        full x), the post-attention modules run on that one frame, and
+        the cached previous output is concatenated back, returning
+        [B,T,C]. Streaming callers pass an all-valid single-step mask
+        (mask_ [B,1,1], attn_mask covering the one query row), matching
+        the reference's contract."""
         det = not train
         ff_scale = 0.5 if self.macaron_style else 1.0
 
@@ -181,10 +189,20 @@ class EncoderLayer(nn.Module):
 
         residual = x
         xn = self.norm_mha(x)
-        if pos_emb is not None:
-            x_att = self.self_attn(xn, xn, xn, pos_emb, attn_mask, deterministic=det)
+        if cache is not None:
+            if cache.shape != (x.shape[0], x.shape[1] - 1, self.size):
+                raise ValueError(
+                    f"cache shape {cache.shape} != "
+                    f"{(x.shape[0], x.shape[1] - 1, self.size)}")
+            x_q = xn[:, -1:, :]
+            residual = residual[:, -1:, :]
         else:
-            x_att = self.self_attn(xn, xn, xn, attn_mask, deterministic=det)
+            x_q = xn
+        if pos_emb is not None:
+            x_att = self.self_attn(x_q, xn, xn, pos_emb, attn_mask,
+                                   deterministic=det)
+        else:
+            x_att = self.self_attn(x_q, xn, xn, attn_mask, deterministic=det)
         x_att = x_att * mask_
         x = residual + self.dropout(x_att, deterministic=det)
 
@@ -203,6 +221,8 @@ class EncoderLayer(nn.Module):
 
         if self.use_cnn_module:
             x = self.norm_final(x) * mask_
+        if cache is not None:
+            x = jnp.concatenate([cache, x], axis=1)
         return x
 
 
@@ -228,6 +248,9 @@ class Encoder(nn.Module):
     activation_type: str = "swish"
     use_cnn_module: bool = False
     cnn_module_kernel: int = 31
+    # return each block's output (after_norm applied to every one),
+    # `encoder.py:266-274` — the reference's layer-probing option
+    mid_out: bool = False
 
     def setup(self):
         ptype = self.pos_enc_layer_type
@@ -286,6 +309,15 @@ class Encoder(nn.Module):
         else:
             x = self.pos_enc(x, deterministic=det)
             pos_emb = None
+        if self.mid_out:
+            outs = []
+            for layer in self.encoders:
+                x = layer(x, pos_emb, attn_mask, mask_, train=train,
+                          row_weight=row_weight)
+                outs.append(x)
+            if self.normalize_before:
+                outs = [self.after_norm(o) for o in outs]
+            return outs
         for layer in self.encoders:
             x = layer(x, pos_emb, attn_mask, mask_, train=train,
                       row_weight=row_weight)

@@ -127,3 +127,23 @@ class LegacyRelPositionalEncoding(nn.Module):
             drop(x, deterministic=deterministic),
             drop(pos_emb, deterministic=deterministic),
         )
+
+
+class StreamPositionalEncoding(nn.Module):
+    """Streaming positional encoding (`embedding.py:333-385`):
+    ``x*sqrt(d) + PE[start_idx : start_idx+T]``, dropout.
+
+    The reference grows a ``pe`` buffer lazily (``extend_pe``); here the
+    table is a trace-time constant sized ``start_idx + T`` (both static
+    under jit — a streaming server compiles one program per chunk size,
+    consistent with the bucketed serving design)."""
+
+    d_model: int
+    dropout_rate: float
+
+    @nn.compact
+    def __call__(self, x, start_idx: int = 0, deterministic: bool = True):
+        T = x.shape[1]
+        pe = jnp.asarray(sinusoid_table(start_idx + T, self.d_model))
+        x = x * math.sqrt(self.d_model) + pe[None, start_idx:start_idx + T]
+        return nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)

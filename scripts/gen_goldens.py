@@ -716,11 +716,92 @@ def gen_subsampling():
              **sd_to_np(sub))
 
 
+
+
+# ---------------------------------------------------------------- esp streaming
+def gen_esp_streaming():
+    """The three streaming sub-features (VERDICT r3 #7):
+    StreamPositionalEncoding (`esp/transformer/embedding.py:333-385`),
+    Encoder(mid_out=True) (`esp/conformer/encoder.py:266-274`), and the
+    EncoderLayer streaming cache (`esp/conformer/encoder_layer.py:114-120`)."""
+    from promptttspp.modules.esp.conformer.convolution import ConvolutionModule
+    from promptttspp.modules.esp.conformer.encoder import Encoder
+    from promptttspp.modules.esp.conformer.encoder_layer import EncoderLayer
+    from promptttspp.modules.esp.conformer.swish import Swish
+    from promptttspp.modules.esp.transformer.attention import (
+        MultiHeadedAttention, RelPositionMultiHeadedAttention)
+    from promptttspp.modules.esp.transformer.embedding import (
+        RelPositionalEncoding, StreamPositionalEncoding)
+    from promptttspp.modules.esp.transformer.multi_layer_conv import (
+        MultiLayeredConv1d)
+
+    rng = np.random.RandomState(9)
+    D = 32
+
+    # 1) StreamPositionalEncoding at two stream offsets
+    pe = StreamPositionalEncoding(d_model=D, dropout_rate=0.0).eval()
+    x_pe = rng.randn(2, 11, D).astype(np.float32)
+    with torch.no_grad():
+        pe_out0 = pe(torch.from_numpy(x_pe))
+        pe_out4 = pe(torch.from_numpy(x_pe), start_idx=4)
+
+    # 2) Encoder(mid_out=True): per-block outputs, each after_norm'ed
+    torch.manual_seed(21)
+    enc = Encoder(
+        idim=D, attention_dim=D, attention_heads=2, linear_units=64,
+        num_blocks=3, dropout_rate=0.0, positional_dropout_rate=0.0,
+        attention_dropout_rate=0.0, mid_out=True, input_layer=None,
+        positionwise_layer_type="conv1d", positionwise_conv_kernel_size=3,
+        macaron_style=True, pos_enc_layer_type="rel_pos",
+        selfattention_layer_type="rel_selfattn", use_cnn_module=True,
+        cnn_module_kernel=7).eval()
+    xs = rng.randn(2, 13, D).astype(np.float32)
+    lens = np.array([13, 9], np.int64)
+    masks = (np.arange(13)[None, :] < lens[:, None])[:, None, :]
+    with torch.no_grad():
+        xss, _ = enc(torch.from_numpy(xs), torch.from_numpy(masks))
+    mid = {f"mid_{i}": o.numpy() for i, o in enumerate(xss)}
+
+    # 3) EncoderLayer streaming cache — selfattn and rel_selfattn
+    torch.manual_seed(22)
+    layer_abs = EncoderLayer(
+        D, MultiHeadedAttention(2, D, 0.0),
+        MultiLayeredConv1d(D, 64, 3, 0.0), MultiLayeredConv1d(D, 64, 3, 0.0),
+        ConvolutionModule(D, 7, Swish()), 0.0).eval()
+    torch.manual_seed(23)
+    layer_rel = EncoderLayer(
+        D, RelPositionMultiHeadedAttention(2, D, 0.0, zero_triu=False),
+        MultiLayeredConv1d(D, 64, 3, 0.0), MultiLayeredConv1d(D, 64, 3, 0.0),
+        ConvolutionModule(D, 7, Swish()), 0.0).eval()
+    T = 9
+    x_c = rng.randn(1, T, D).astype(np.float32)
+    cache = rng.randn(1, T - 1, D).astype(np.float32)
+    one_mask = torch.ones(1, 1, 1, dtype=torch.bool)
+    rel_pe = RelPositionalEncoding(D, 0.0)
+    with torch.no_grad():
+        out_abs, _ = layer_abs(
+            torch.from_numpy(x_c), one_mask, cache=torch.from_numpy(cache))
+        _, pos_emb = rel_pe(torch.from_numpy(x_c))
+        (out_rel, _), _ = layer_rel(
+            (torch.from_numpy(x_c), pos_emb), one_mask,
+            cache=torch.from_numpy(cache))
+
+    save("esp_streaming",
+         pe_x=x_pe, pe_out0=pe_out0.numpy(), pe_out4=pe_out4.numpy(),
+         enc_x=xs, enc_lens=lens, **mid,
+         cache_x=x_c, cache=cache, cache_pos_emb=pos_emb.numpy(),
+         cache_out_abs=out_abs.numpy(), cache_out_rel=out_rel.numpy(),
+         **sd_to_np(enc, prefix="enc."),
+         **sd_to_np(layer_abs, prefix="abs."),
+         **sd_to_np(layer_rel, prefix="rel."))
+
+
 if __name__ == "__main__":
     which = sys.argv[1:] or ["conformer", "mdn", "predictors", "frame_prior",
                              "style_encoder", "diffusion", "variance_adaptor",
                              "model", "vocoder", "nnsvs", "local_nets",
                              "aux_nets", "lightconv", "decoder",
-                             "subsampling", "transformer_encoder"]
+                             "subsampling", "transformer_encoder",
+                             "esp_streaming"]
     for name in which:
         globals()[f"gen_{name}"]()
