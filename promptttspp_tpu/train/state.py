@@ -165,6 +165,12 @@ def make_train_step(model, tx, donate: bool = True, bf16: bool = False,
     counterpart of the reference's fp16 GradScaler switch,
     `trainers/tts.py:86-92` — no loss scaling needed for bf16). The MDN
     fp32 islands stay fp32 via their explicit casts (mdn_disable_amp).
+    BatchNorm running stats remain numerically pinned under bf16:
+    WeightedBatchNorm reduces batch statistics in f32 and the EMA
+    carries in f32 (stats are cast back to f32 below), so the only
+    drift source is the bf16 rounding of the activations — bounded by
+    the EMA contraction at <2% relative, NOT accumulating over steps
+    (tests/test_weighted_bn.py::test_bf16_running_stat_drift_bounded).
 
     freeze_mask (True = trainable) is the reference's requires_grad=False
     expressed STRUCTURALLY (`modules/prompt_encoder.py:28-31`): the
