@@ -157,6 +157,9 @@ class Synthesizer:
                 self._full_pass,
                 static_argnames=("max_frames", "use_max", "noise_scale",
                                  "zero_noise"))
+        self._acoustic_fn = jax.jit(
+            self._acoustic_pass,
+            static_argnames=("max_frames", "use_max", "noise_scale"))
         self._mel_fn = None
         if to_mel is not None:
             self._mel_fn = jax.jit(to_mel.to_mel)
@@ -218,6 +221,19 @@ class Synthesizer:
         f0 = jnp.where(vuv[..., 0] > 0.5, f0, 0.0)[..., None]
         mel_denorm = mel * self.mel_stats["std"] + self.mel_stats["mean"]
         return f0, mel_denorm
+
+    def _acoustic_pass(self, variables, phoneme, phone_lengths, prompt_ids,
+                       prompt_mask, reference_mel, ref_lengths, use_max,
+                       noise_scale, style_rng, diffusion_rng, max_frames):
+        """Acoustic model + F0 post + mel denorm in one program — the
+        streaming request's first dispatch (the vocoder then runs
+        chunk-by-chunk, vocoders/streaming.py)."""
+        mel, flens, log_cf0, vuv, raw_lens = self._infer_pass(
+            variables, phoneme, phone_lengths, prompt_ids, prompt_mask,
+            reference_mel, ref_lengths, use_max, noise_scale, style_rng,
+            diffusion_rng, max_frames)
+        f0, mel_denorm = self._postprocess(mel, log_cf0, vuv)
+        return mel_denorm, f0, flens, raw_lens
 
     def _cond_pass(self, variables, phoneme, phone_lengths, prompt_ids,
                    prompt_mask, reference_mel, ref_lengths, use_max,
@@ -439,6 +455,90 @@ class Synthesizer:
             if wav is not None:
                 wavs.append(wav[i, : n * self.upsample, 0])
         return wavs, mels
+
+
+    def synthesize_streaming(
+        self,
+        phoneme_seqs: Sequence[Sequence[int]],
+        prompts: Optional[Sequence[str]] = None,
+        reference_mels: Optional[Sequence[np.ndarray]] = None,
+        use_max: bool = True,
+        noise_scale: float = 0.5,
+        seed: int = 0,
+    ):
+        """Incremental synthesis: yields waveform chunks
+        [B, chunk_frames*upsample] (the last one shorter) as they are
+        computed, instead of waiting for the full utterance.
+
+        Time-to-first-audio = one fused acoustic dispatch (text ->
+        denormalized mel + gated F0, the diffusion decode included) plus
+        ONE vocoder chunk (``chunk_frames`` x 10 ms of audio) — the
+        vocoder runs chunk-by-chunk with halo context and a
+        phase-continuous NSF source (vocoders/streaming.py), so the
+        stitched stream equals the batched waveform in the interior.
+        With speculative=True the acoustic pass skips the duration
+        pre-pass exactly like ``synthesize`` (bucket predicted from the
+        phone count, verified from the same dispatch).
+
+        The generator's final ``return`` value (via StopIteration) is
+        the per-item frame lengths; slice item i's concatenated stream
+        to ``flens[i] * upsample`` samples."""
+        assert self.vocoder is not None, "streaming requires a vocoder"
+        n_cond = sum(x is not None for x in (prompts, reference_mels))
+        assert n_cond == 1, "exactly one of prompts / reference_mels"
+
+        phoneme, plens = self._pad_phonemes(phoneme_seqs)
+        if prompts is not None:
+            prompt_ids, prompt_mask = self._encode_prompts(prompts)
+            ref_mel, ref_lens = None, None
+        else:
+            prompt_ids, prompt_mask = None, None
+            ref_mel, ref_lens = self._pad_ref_mels(reference_mels)
+        style_rng = jax.random.PRNGKey(seed)
+        diffusion_rng = jax.random.PRNGKey(seed + 1)
+        margs = (self.variables, phoneme, plens, prompt_ids, prompt_mask,
+                 ref_mel, ref_lens, use_max, noise_scale, style_rng,
+                 diffusion_rng)
+
+        if self.speculative:
+            self.spec_requests += 1
+            pred = min(
+                bucket_shape(
+                    max(1, int(np.ceil(float(np.max(np.asarray(plens)))
+                                       * self.spec_frames_per_phone))),
+                    self.frame_quantum),
+                self.max_frames_cap)
+            mel_denorm, f0, flens, raw = self._acoustic_fn(
+                *margs, max_frames=pred)
+            flens_np, raw_np = jax.device_get((flens, raw))
+            if int(raw_np.max()) > pred and pred < self.max_frames_cap:
+                self.spec_mispredicts += 1
+                mf = min(bucket_shape(int(raw_np.max()), self.frame_quantum),
+                         self.max_frames_cap)
+                mel_denorm, f0, flens, raw = self._acoustic_fn(
+                    *margs, max_frames=mf)
+                flens_np = np.asarray(flens)
+        else:
+            frame_lens = self._dur_fn(self.variables, phoneme, plens,
+                                      prompt_ids, prompt_mask, ref_mel,
+                                      ref_lens, use_max, style_rng)
+            max_frames = min(
+                bucket_shape(int(np.max(np.asarray(frame_lens))),
+                             self.frame_quantum),
+                self.max_frames_cap)
+            mel_denorm, f0, flens, _raw = self._acoustic_fn(
+                *margs, max_frames=max_frames)
+            flens_np = np.asarray(flens)
+
+        from promptttspp_tpu.vocoders.streaming import vocode_streaming
+
+        for wav in vocode_streaming(
+                self.vocoder, self.vocoder_variables, mel_denorm, f0,
+                chunk_frames=self.chunk_frames,
+                halo_frames=self.halo_frames, upsample=self.upsample,
+                deterministic=True):
+            yield np.asarray(wav)[:, :, 0]
+        return flens_np
 
 
 def write_wav(path, wav: np.ndarray, sample_rate: int = 24000):

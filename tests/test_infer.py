@@ -266,6 +266,45 @@ def test_decode_pipelined_knob(tiny):
         np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5)
 
 
+def test_streaming_synthesis_matches_batched(tiny):
+    """synthesize_streaming yields chunk-by-chunk audio whose
+    concatenation equals the batched waveform in the interior (halo
+    context differs at the utterance edges), and returns per-item frame
+    lengths via StopIteration."""
+    import tests.test_train as tt
+
+    model, variables, ds = tiny
+    voc, voc_vars = _tiny_vocoder()
+    seqs = [list(ds[i]["phonemes"]) for i in range(2)]
+    prompts = ["a low calm voice", "bright fast speech"]
+    synth = Synthesizer(
+        model, variables, vocoder=voc, vocoder_variables=voc_vars,
+        tokenizer=tt.TokenHashTokenizer(),
+        mel_stats={"mean": MEAN, "std": STD},
+        frame_quantum=64, max_frames_cap=512, upsample=8,
+        chunk_frames=16, halo_frames=12)
+    wav_b, _ = synth.synthesize(seqs, prompts=prompts, seed=2)
+
+    gen = synth.synthesize_streaming(seqs, prompts=prompts, seed=2)
+    chunks = []
+    while True:
+        try:
+            chunks.append(next(gen))
+        except StopIteration as stop:
+            flens = stop.value
+            break
+    assert len(chunks) >= 2  # actually incremental
+    stream = np.concatenate(chunks, axis=1)
+    margin = 12 * 8  # halo_frames * upsample edge context
+    for i in range(2):
+        n = int(flens[i]) * 8
+        a, b = wav_b[i], stream[i, :n]
+        assert a.shape == b.shape
+        if len(a) > 2 * margin:
+            np.testing.assert_allclose(a[margin:-margin],
+                                       b[margin:-margin], atol=5e-3)
+
+
 def test_conditioning_xor(tiny):
     model, variables, ds = tiny
     synth = _make_synth(model, variables)
