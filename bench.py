@@ -1,25 +1,40 @@
-"""Benchmark: end-to-end text -> 24 kHz waveform real-time factor.
+"""Benchmark: end-to-end text -> 24 kHz waveform through the SHIPPED
+``Synthesizer`` request path (VERDICT r3 #1: measure what you ship).
 
-Runs the full inference pipeline on the flagship configuration (BERT-base
+Runs the full serving pipeline on the flagship configuration (BERT-base
 prompt encoding -> style MDN sampling -> conformer -> MDN durations ->
 100-step DDPM mel decoding -> F0 zero-phase lowpass + vuv gating ->
 F0-aware BigVGAN vocoder) on the default JAX backend (the real TPU chip
-under the driver), batch 1, and reports on stdout the driver's ONE line
+under the driver) and reports on stdout the driver's ONE line
 
     {"metric": "text2wav_rtf", "value": <wall/audio>, "unit": "rtf",
      "vs_baseline": <north-star 0.01 / value>}
 
-vs_baseline > 1 means faster than the BASELINE.md v5e target of RTF 0.01
-(the reference publishes no speed numbers — BASELINE.json `published: {}`).
+The value is the WALL-CLOCK single-request latency of
+``Synthesizer.synthesize()`` — tokenized prompts in, sliced numpy wav
+out — including every dispatch, host loop, and readback the served path
+actually pays. vs_baseline > 1 means faster than the BASELINE.md v5e
+target of RTF 0.01 (the reference publishes no speed numbers —
+BASELINE.json `published: {}`).
 
-The primary value is pipelined throughput RTF (ITERS in-flight calls,
-amortized — what a serving queue sees). Single-request latency RTF (one
-dispatch + completion readback, what one user sees) is printed to stderr
-alongside; BENCHMARKS.md quotes both.
+Serving configuration measured (and reported alongside on stderr):
+- speculative single-dispatch requests (``Synthesizer(speculative=
+  True)``): the frame bucket is predicted from the phone count and the
+  fused text->wav program dispatched immediately; its own unclipped
+  duration sums verify the prediction in the readback that delivers the
+  audio. ``--two-phase`` measures the duration-prepass path instead.
+- the random-init duration head is biased to exactly 10 frames/phone so
+  the workload is the same 640-frame / 6.4 s utterance every round has
+  benchmarked (a real checkpoint would produce real durations; the
+  device work is identical).
+- a null-program dispatch+readback is measured alongside: over this
+  tunneled backend it is pure transport (~tens of ms) that no on-host
+  serving stack would pay; device_latency_rtf = (wall - null)/audio.
 
-Flags: --sharded-vocoder runs the vocoder via vocode_sharded over all
-devices (chunk batch on the mesh data axis); --batch N for batched
-serving throughput.
+Flags: --batch N (batched serving), --two-phase, --pndm-speedup K,
+--decode-bf16 (bf16-STORED denoiser weights + cond projections; compute
+stays f32), --return-mels (include the mel readback in the timing),
+--iters N.
 """
 
 import argparse
@@ -36,10 +51,51 @@ import jax.numpy as jnp
 import numpy as np
 
 
+class FixedTokenizer:
+    """Deterministic stand-in for the host WordPiece tokenizer (prompt
+    tokenization is host-side microseconds; the model sees ids either
+    way)."""
+
+    pad_id = 0
+
+    def __init__(self, L=32, seed=0):
+        self.L = L
+        self.rng = np.random.RandomState(seed)
+
+    def batch_encode(self, prompts):
+        ids = self.rng.randint(1000, 29000,
+                               (len(prompts), self.L)).astype(np.int32)
+        ids[:, 0] = 101
+        ids[:, -1] = 102
+        return ids, np.ones_like(ids)
+
+
+def bias_duration_head(variables, frames_per_phone=10.0):
+    """Pin the random-init duration MDN to a constant ``frames_per_phone``
+    so the benchmark decodes the standard 640-frame bucket: mu head ->
+    log(fpp) (zero kernel), log_sigma head -> -7 (its clamp floor)."""
+    p = variables["params"]
+    head = p["variance_adaptor"]["duration_predictor"]["out_layer"]
+    mu, ls = head["mu"], head["log_sigma"]
+    head = {
+        **head,
+        "mu": {"kernel": jnp.zeros_like(mu["kernel"]),
+               "bias": jnp.full_like(mu["bias"],
+                                     float(np.log(frames_per_phone)))},
+        "log_sigma": {"kernel": jnp.zeros_like(ls["kernel"]),
+                      "bias": jnp.full_like(ls["bias"], -7.0)},
+    }
+    dp = {**p["variance_adaptor"]["duration_predictor"], "out_layer": head}
+    va = {**p["variance_adaptor"], "duration_predictor": dp}
+    return {**variables, "params": {**p, "variance_adaptor": va}}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--sharded-vocoder", action="store_true")
+    ap.add_argument("--two-phase", action="store_true",
+                    help="duration pre-pass + fused pass (2 dispatches) "
+                    "instead of the speculative single dispatch")
     ap.add_argument("--pndm-speedup", type=int, default=0,
                     help="PLMS multistep sampling: K/N denoiser calls "
                     "instead of K (different samples than ancestral)")
@@ -47,107 +103,71 @@ def main():
                     help="bf16-STORED denoiser weights + hoisted cond "
                     "projections (halves the decode scan's HBM streaming; "
                     "compute stays f32, x carry f32)")
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--return-mels", action="store_true",
+                    help="include the per-request mel readback")
+    ap.add_argument("--ttfa", action="store_true",
+                    help="also measure time-to-first-audio via "
+                    "synthesize_streaming (chunked vocoder)")
+    ap.add_argument("--iters", type=int, default=7)
     args = ap.parse_args()
 
     from promptttspp_tpu.flagship import (
         build_flagship_model, build_vocoder, example_batch, init_flagship)
-    from promptttspp_tpu.ops.filters import lowpass_filter
+    from promptttspp_tpu.infer import Synthesizer
 
     SR, HOP = 24000, 240
-    B, TP, MAX_FRAMES, L = args.batch, 64, 640, 32  # 6.4 s of audio per run
+    B, TP, FRAMES = args.batch, 64, 640  # 64 phones x 10 = 6.4 s/utt
 
     overrides = ([f"+model.decoder.pndm_speedup={args.pndm_speedup}"]
                  if args.pndm_speedup else [])
     if args.decode_bf16:
         overrides.append("+model.decoder.infer_io_dtype=bfloat16")
     model = build_flagship_model(overrides)
-    batch = example_batch(B=B, Tp=TP, Tf=MAX_FRAMES, L=L)
-    variables = init_flagship(model, batch)
-    if args.decode_bf16:
-        dn = jax.tree.map(
-            lambda a: a.astype(jnp.bfloat16)
-            if jnp.issubdtype(a.dtype, jnp.floating) else a,
-            variables["params"]["decoder"]["denoise_fn"])
-        variables = {**variables, "params": {
-            **variables["params"], "decoder": {
-                **variables["params"]["decoder"], "denoise_fn": dn}}}
+    variables = init_flagship(model, example_batch(B=B, Tp=TP, Tf=FRAMES,
+                                                   L=32))
+    variables = bias_duration_head(variables, 10.0)
 
     vocoder = build_vocoder("bigvgan_f0")
-    mel0 = jnp.zeros((B, MAX_FRAMES, 80), jnp.float32)
-    f00 = jnp.zeros((B, MAX_FRAMES, 1), jnp.float32)
-    voc_vars = vocoder.init(jax.random.PRNGKey(1), mel0, f00,
-                            deterministic=True)
+    voc_vars = vocoder.init(
+        jax.random.PRNGKey(1), jnp.zeros((B, FRAMES, 80), jnp.float32),
+        jnp.zeros((B, FRAMES, 1), jnp.float32), deterministic=True)
 
-    if args.sharded_vocoder:
-        from promptttspp_tpu.parallel.mesh import make_mesh
-        from promptttspp_tpu.vocoders.streaming import vocode_sharded
+    synth = Synthesizer(
+        model, variables, vocoder=vocoder, vocoder_variables=voc_vars,
+        mel_stats={"mean": 0.0, "std": 1.0}, tokenizer=FixedTokenizer(),
+        phone_quantum=16, frame_quantum=128, max_frames_cap=2048,
+        speculative=not args.two_phase, spec_frames_per_phone=10.0,
+        decode_param_dtype="bfloat16" if args.decode_bf16 else None)
 
-        mesh = make_mesh()
+    rng = np.random.RandomState(3)
+    seqs = [list(rng.randint(1, 90, TP)) for _ in range(B)]
+    prompts = ["a deep calm male voice speaking slowly"] * B
 
-    @jax.jit
-    def acoustic(variables, phoneme, phone_lengths, prompt_ids, prompt_mask):
-        mel, flens, log_cf0, vuv = model.apply(
-            variables, phoneme, phone_lengths, MAX_FRAMES,
-            prompt_ids=prompt_ids, prompt_mask=prompt_mask,
-            use_max=True, noise_scale=0.0,
-            diffusion_rng=jax.random.PRNGKey(3),
-            return_f0=True,
-            method=type(model).infer,
-        )
-        # f0 smoothing + gating as in the real serving path
-        # (infer.py:181-183, reference app.py:76-79)
-        log_cf0 = lowpass_filter(log_cf0[..., 0], fs=100, cutoff=20)
-        f0 = (jnp.exp(log_cf0) * (vuv[..., 0] > 0.5))[..., None]
-        return mel, f0, flens
+    def request(seed):
+        wavs, _ = synth.synthesize(seqs, prompts=prompts, use_max=True,
+                                   noise_scale=0.0, seed=seed,
+                                   return_mels=args.return_mels)
+        return wavs
 
-    @jax.jit
-    def fused(variables, voc_vars, *a):
-        mel, f0, flens = acoustic(variables, *a)
-        return vocoder.apply(voc_vars, mel, f0, deterministic=True), flens
+    # cold start: first request compiles the fused program for this
+    # (phone, frame) bucket
+    t0 = time.perf_counter()
+    wavs = request(0)
+    cold_s = time.perf_counter() - t0
+    assert all(np.isfinite(w).all() for w in wavs)
+    audio_sec = sum(len(w) for w in wavs) / SR
+    request(1)  # settle caches
 
-    if args.sharded_vocoder:
-        def text2wav(variables, voc_vars, *a):
-            mel, f0, flens = acoustic(variables, *a)
-            wav = vocode_sharded(mesh, vocoder, voc_vars, mel, f0,
-                                 deterministic=True)
-            return wav, flens
-    else:
-        def text2wav(variables, voc_vars, *a):
-            return fused(variables, voc_vars, *a)
-
-    margs = (
-        variables, voc_vars,
-        jnp.asarray(batch["phoneme"]), jnp.asarray(batch["phone_lengths"]),
-        jnp.asarray(batch["prompt_ids"]), jnp.asarray(batch["prompt_mask"]),
-    )
-
-    # block_until_ready is unreliable on tunneled backends, so each
-    # measurement runs ITERS pipelined calls and forces one device->host
-    # scalar readback at the end — the per-call time amortizes the tunnel
-    # round-trip instead of adding ~30 ms to every iteration.
-    ITERS = args.iters
-
-    def run_block(n):
+    times = []
+    for i in range(args.iters):
         t0 = time.perf_counter()
-        for _ in range(n):
-            wav, flens = text2wav(*margs)
-        float(jnp.sum(wav[:, -1, 0]))
-        return (time.perf_counter() - t0) / n
-
-    run_block(2)  # warmup/compile
-    times = [run_block(ITERS) for _ in range(3)]
+        request(2 + i)
+        times.append(time.perf_counter() - t0)
     wall = float(np.median(times))
-    audio_sec = B * MAX_FRAMES * HOP / SR  # padded synthesis = real compute
     rtf = wall / audio_sec
 
-    # single-request latency: one dispatch to completion readback.
-    # On a tunneled backend that includes a fixed host<->device RTT that
-    # no serving stack would pay on-host; measure it with a null program
-    # (same dispatch + scalar readback, ~zero compute) and report both.
-    lat = float(np.median([run_block(1) for _ in range(5)]))
-    lat_rtf = lat / audio_sec
-
+    # null-program dispatch+readback: pure transport on this tunneled
+    # backend (an on-host serving stack would not pay it)
     null = jax.jit(lambda z: z + 1.0)
     zv = jnp.zeros((8, 128), jnp.float32)
     float(jnp.sum(null(zv)))  # compile
@@ -156,16 +176,46 @@ def main():
         float(jnp.sum(null(zv)))
         return time.perf_counter() - t0
     null_rtt = float(np.median([null_block() for _ in range(7)]))
-    dev_rtf = max(lat - null_rtt, 0.0) / audio_sec
+    dev_rtf = max(wall - null_rtt, 0.0) / audio_sec
+
     print(json.dumps({
-        "metric": "text2wav_latency_rtf", "value": round(lat_rtf, 6),
-        "unit": "rtf", "batch": B,
+        "metric": "text2wav_latency_detail",
+        "wall_s": round(wall, 4), "audio_s": round(audio_sec, 2),
+        "batch": B,
+        "dispatches_per_request": 2 if args.two_phase else 1,
+        "spec_requests": synth.spec_requests,
+        "spec_mispredicts": synth.spec_mispredicts,
         "device_latency_rtf": round(dev_rtf, 6),
         "null_dispatch_ms": round(null_rtt * 1e3, 2),
-        "note": "single request dispatch->readback; device_latency_rtf "
-                "subtracts the measured null-program round-trip "
-                "(tunnel/transport cost, not device or host-serving time)",
+        "cold_start_s": round(cold_s, 2),
+        "note": "wall latency of Synthesizer.synthesize() (the shipped "
+                "request path); device_latency_rtf subtracts the "
+                "measured null-program round-trip (tunnel/transport "
+                "cost, not device or host-serving time)",
     }), file=sys.stderr)
+
+    if args.ttfa:
+        # time-to-first-audio: acoustic dispatch + first vocoder chunk
+        def first_chunk(seed):
+            t0 = time.perf_counter()
+            gen = synth.synthesize_streaming(seqs, prompts=prompts,
+                                             use_max=True, noise_scale=0.0,
+                                             seed=seed)
+            chunk = next(gen)
+            dt = time.perf_counter() - t0
+            gen.close()
+            return dt, chunk.shape[1] / SR
+        first_chunk(100)  # compile the chunk-shaped vocoder program
+        pairs = [first_chunk(101 + i) for i in range(5)]
+        ttfa = float(np.median([p[0] for p in pairs]))
+        print(json.dumps({
+            "metric": "ttfa", "ttfa_ms": round(ttfa * 1e3, 1),
+            "first_chunk_audio_s": round(pairs[0][1], 3),
+            "chunk_frames": synth.chunk_frames,
+            "note": "time from request to the first audible chunk "
+                    "(streaming serve; full request still completes at "
+                    "text2wav_rtf)",
+        }), file=sys.stderr)
 
     target = 0.01
     print(json.dumps({

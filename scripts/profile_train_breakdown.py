@@ -107,6 +107,12 @@ def main():
 
     print(f"flagship train step  B={B} Tp={Tp} Tf={Tf} "
           f"({frames} padded mel frames/step)")
+    # peak MXU throughput for the MFU column: TPU v5e = 197 TFLOP/s
+    # (bf16; f32 matmuls run through the same MXU). Override with
+    # GRAFT_PEAK_FLOPS for other chips.
+    import os
+
+    peak = float(os.environ.get("GRAFT_PEAK_FLOPS", 197e12))
     full_state = state.replace(opt_state=tx.init(state.params))
     for bf16 in ((False, True) if only in ("", "step") else ()):
         for fz, fzmask, st in (("nofreeze", None, full_state),
@@ -114,8 +120,22 @@ def main():
             step = make_train_step(model, tx, donate=False, bf16=bf16,
                                    freeze_mask=fzmask)
             t = timed(step, st, batch, rng, iters=10)
+            # executed-HLO flops from XLA's own cost model: the
+            # numerator for MFU = flops / time / peak
+            mfu_s = ""
+            try:
+                cost = step.lower(st, batch, rng).compile().cost_analysis()
+                if isinstance(cost, (list, tuple)):
+                    cost = cost[0]
+                flops = float(cost.get("flops", 0.0))
+                if flops > 0:
+                    mfu = flops / (t / 1e3) / peak
+                    mfu_s = (f"  {flops / 1e9:7.1f} GFLOP/step, "
+                             f"MFU {mfu * 100:5.2f}%")
+            except Exception as e:  # cost model absent on some backends
+                mfu_s = f"  (no cost analysis: {type(e).__name__})"
             print(f"  full step bf16={int(bf16)} {fz:>9}: {t:7.2f} ms "
-                  f"({frames / t * 1e3:,.0f} frames/s)")
+                  f"({frames / t * 1e3:,.0f} frames/s){mfu_s}")
 
     if only == "step":
         return
