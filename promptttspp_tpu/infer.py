@@ -22,6 +22,61 @@ from promptttspp_tpu.data.batching import bucket_shape
 from promptttspp_tpu.ops.filters import lowpass_filter
 
 
+def _host_prng_key(seed: int) -> np.ndarray:
+    """Raw threefry2x32 key built on the host. ``jax.random.PRNGKey``
+    runs a (tiny) jitted program — on a tunneled backend that is a
+    device dispatch per key, pure request latency. jax.random accepts
+    raw uint32[2] legacy key arrays everywhere."""
+    return np.array([(seed >> 32) & 0xFFFFFFFF, seed & 0xFFFFFFFF],
+                    np.uint32)
+
+
+class _PendingRequest:
+    """Handle for an in-flight speculative request (synthesize_async):
+    the fused text->wav program is already dispatched; ``result()``
+    blocks on the ONE readback that delivers the audio and verifies the
+    bucket prediction (re-dispatching transparently on overflow)."""
+
+    def __init__(self, synth, n_items, dispatch_args, pred, return_mels,
+                 outputs):
+        self._synth = synth
+        self._n = n_items
+        self._args = dispatch_args
+        self._pred = pred
+        self._return_mels = return_mels
+        self._out = outputs
+
+    def result(self):
+        """-> (wavs, mels) exactly like ``synthesize``."""
+        synth = self._synth
+        wav, mel_denorm, flens, raw = self._out
+        if not self._return_mels:
+            mel_denorm = None
+        wav, mel_denorm, flens, raw = jax.device_get(
+            (wav, mel_denorm, flens, raw))
+        if int(raw.max()) > self._pred \
+                and self._pred < synth.max_frames_cap:
+            # bucket overflow: re-run at the true bucket (correct, just
+            # slower for this request)
+            synth.spec_mispredicts += 1
+            mf = min(bucket_shape(int(raw.max()), synth.frame_quantum),
+                     synth.max_frames_cap)
+            out = synth._full_fn(synth.variables, synth.vocoder_variables,
+                                 *self._args, max_frames=mf)
+            wav, mel_denorm, flens, raw = out
+            if not self._return_mels:
+                mel_denorm = None
+            wav, mel_denorm, flens, raw = jax.device_get(
+                (wav, mel_denorm, flens, raw))
+        wavs, mels = [], []
+        for i in range(self._n):
+            n = int(flens[i])
+            if self._return_mels:
+                mels.append(np.asarray(mel_denorm[i, :n]))
+            wavs.append(np.asarray(wav[i, : n * synth.upsample, 0]))
+        return wavs, mels
+
+
 class Synthesizer:
     def __init__(
         self,
@@ -46,6 +101,7 @@ class Synthesizer:
         pipeline_microbatches: int = 1,
         speculative: bool = False,
         spec_frames_per_phone: float = 10.0,
+        return_int16: bool = False,
     ):
         """vocoder_mode: "batched" (one call over the utterance batch),
         "chunked" (fold fixed-size mel chunks into the batch axis — one
@@ -77,7 +133,12 @@ class Synthesizer:
         noise tensor is drawn at the bucket shape, so a speculatively
         larger bucket yields a different (equally valid) sample than the
         exact-bucket dispatch would — the same class of shape-dependence
-        the frame quantum already introduces."""
+        the frame quantum already introduces.
+
+        return_int16: quantize the waveform to PCM16 inside the fused
+        program — halves the wav readback payload (it is the format the
+        audio ships in anyway); only the fused/speculative paths honor
+        it."""
         assert vocoder_mode in ("batched", "chunked", "sharded")
         if decode_pipelined:
             if mesh is None:
@@ -122,6 +183,7 @@ class Synthesizer:
         self.frame_sharded_decode = frame_sharded_decode
         self.speculative = speculative
         self.spec_frames_per_phone = float(spec_frames_per_phone)
+        self.return_int16 = return_int16
         self.spec_requests = 0
         self.spec_mispredicts = 0
         if (vocoder_mode == "sharded" or frame_sharded_decode) \
@@ -209,6 +271,11 @@ class Synthesizer:
         f0, mel_denorm = self._postprocess(mel, log_cf0, vuv)
         wav = self.vocoder.apply(voc_variables, mel_denorm, f0,
                                  deterministic=True)
+        if self.return_int16:
+            # quantize to PCM16 on device: halves the wav readback bytes
+            # (the audible format anyway); traced statically via ctor flag
+            wav = jnp.clip(jnp.round(wav * 32767.0), -32768.0,
+                           32767.0).astype(jnp.int16)
         return wav, mel_denorm, flens, raw_lens
 
     def _postprocess(self, mel, log_cf0, vuv):
@@ -254,7 +321,10 @@ class Synthesizer:
         for i, s in enumerate(seqs):
             phoneme[i, : len(s)] = s
             lens[i] = len(s)
-        return jnp.asarray(phoneme), jnp.asarray(lens)
+        # host arrays on purpose: jit transfers them with the dispatch;
+        # materializing jnp arrays here would add a host->device round
+        # trip AND make the later np.max(plens) a blocking readback
+        return phoneme, lens
 
     def _encode_prompts(self, prompts: Sequence[str]):
         assert self.tokenizer is not None, "tokenizer required for prompts"
@@ -264,7 +334,7 @@ class Synthesizer:
         mask_p = np.zeros((ids.shape[0], L), np.int32)
         ids_p[:, : ids.shape[1]] = ids
         mask_p[:, : ids.shape[1]] = mask
-        return jnp.asarray(ids_p), jnp.asarray(mask_p)
+        return ids_p, mask_p
 
     def _pad_ref_mels(self, mels: Sequence[np.ndarray]):
         """Normalize raw log-mels with the global stats and pad to a frame
@@ -279,7 +349,7 @@ class Synthesizer:
         for i, m in enumerate(mels):
             out[i, : m.shape[0]] = (np.asarray(m, np.float32) - mean) / std
             lens[i] = m.shape[0]
-        return jnp.asarray(out), jnp.asarray(lens)
+        return out, lens
 
     def wav_to_mel(self, wav: np.ndarray) -> np.ndarray:
         """24 kHz wav [Ts] -> raw log-mel [T, 80] (reference wav->mel on
@@ -288,6 +358,68 @@ class Synthesizer:
         return np.asarray(self._mel_fn(jnp.asarray(wav, jnp.float32)))
 
     # ---------------------------------------------------------------- API
+    def _dispatch_speculative(self, n_items, phoneme, plens, prompt_ids,
+                              prompt_mask, ref_mel, ref_lens, use_max,
+                              noise_scale, style_rng, diffusion_rng,
+                              return_mels):
+        """Predict the frame bucket from the phone count, dispatch the
+        fused text->wav program, return WITHOUT blocking."""
+        self.spec_requests += 1
+        pred = min(
+            bucket_shape(
+                max(1, int(np.ceil(float(np.max(plens))
+                                   * self.spec_frames_per_phone))),
+                self.frame_quantum),
+            self.max_frames_cap)
+        args = (phoneme, plens, prompt_ids, prompt_mask, ref_mel, ref_lens,
+                use_max, noise_scale, style_rng, diffusion_rng)
+        out = self._full_fn(self.variables, self.vocoder_variables, *args,
+                            max_frames=pred)
+        return _PendingRequest(self, n_items, args, pred, return_mels, out)
+
+    def synthesize_async(
+        self,
+        phoneme_seqs: Sequence[Sequence[int]],
+        prompts: Optional[Sequence[str]] = None,
+        reference_mels: Optional[Sequence[np.ndarray]] = None,
+        use_max: bool = True,
+        noise_scale: float = 0.5,
+        seed: int = 0,
+        return_mels: bool = False,
+    ) -> _PendingRequest:
+        """Dispatch a speculative single-dispatch request without
+        blocking; the returned handle's ``result()`` performs the one
+        readback (-> (wavs, mels) exactly like ``synthesize``).
+
+        This is the serving-queue primitive: submit request N+1 before
+        resolving request N and the device computes N+1 while N's audio
+        streams back to the host — sustained throughput becomes
+        device-compute-bound instead of round-trip-bound (on a tunneled
+        host link the difference is the entire transport cost).
+
+        Requires ``speculative=True`` with the fused batched vocoder
+        path (the same conditions ``synthesize`` needs for its
+        single-dispatch branch)."""
+        if not (self.speculative and self._full_fn is not None
+                and self.vocoder_mode == "batched"
+                and not self.frame_sharded_decode):
+            raise ValueError(
+                "synthesize_async requires speculative=True, a vocoder, "
+                "vocoder_mode='batched', and frame_sharded_decode=False")
+        n_cond = sum(x is not None for x in (prompts, reference_mels))
+        assert n_cond == 1, "exactly one of prompts / reference_mels"
+        phoneme, plens = self._pad_phonemes(phoneme_seqs)
+        if prompts is not None:
+            prompt_ids, prompt_mask = self._encode_prompts(prompts)
+            ref_mel, ref_lens = None, None
+        else:
+            prompt_ids, prompt_mask = None, None
+            ref_mel, ref_lens = self._pad_ref_mels(reference_mels)
+        return self._dispatch_speculative(
+            len(phoneme_seqs), phoneme, plens, prompt_ids, prompt_mask,
+            ref_mel, ref_lens, use_max, noise_scale,
+            _host_prng_key(seed), _host_prng_key(seed + 1), return_mels)
+
     def synthesize(
         self,
         phoneme_seqs: Sequence[Sequence[int]],
@@ -327,54 +459,18 @@ class Synthesizer:
         else:
             prompt_ids, prompt_mask = None, None
             ref_mel, ref_lens = self._pad_ref_mels(reference_mels)
-        style_rng = jax.random.PRNGKey(seed)
-        diffusion_rng = jax.random.PRNGKey(seed + 1)
+        style_rng = _host_prng_key(seed)
+        diffusion_rng = _host_prng_key(seed + 1)
 
         fused_ok = (self._full_fn is not None
                     and self.vocoder_mode == "batched"
                     and not self.frame_sharded_decode)
 
         if fused_ok and self.speculative and x_T is None:
-            # ONE-dispatch request: predict the frame bucket from the
-            # phone count, dispatch the fused program immediately, and
-            # let its own unclipped duration sums verify the prediction
-            # in the same readback that delivers the audio.
-            self.spec_requests += 1
-            pred = min(
-                bucket_shape(
-                    max(1, int(np.ceil(float(np.max(np.asarray(plens)))
-                                       * self.spec_frames_per_phone))),
-                    self.frame_quantum),
-                self.max_frames_cap)
-            wav, mel_denorm, flens, raw = self._full_fn(
-                self.variables, self.vocoder_variables, phoneme, plens,
-                prompt_ids, prompt_mask, ref_mel, ref_lens, use_max,
-                noise_scale, style_rng, diffusion_rng, max_frames=pred)
-            if not return_mels:
-                mel_denorm = None
-            wav, mel_denorm, flens, raw = jax.device_get(
-                (wav, mel_denorm, flens, raw))
-            if int(raw.max()) > pred and pred < self.max_frames_cap:
-                # bucket overflow: re-run at the true bucket (correct,
-                # just slower for this request)
-                self.spec_mispredicts += 1
-                mf = min(bucket_shape(int(raw.max()), self.frame_quantum),
-                         self.max_frames_cap)
-                wav, mel_denorm, flens, raw = self._full_fn(
-                    self.variables, self.vocoder_variables, phoneme, plens,
-                    prompt_ids, prompt_mask, ref_mel, ref_lens, use_max,
-                    noise_scale, style_rng, diffusion_rng, max_frames=mf)
-                if not return_mels:
-                    mel_denorm = None
-                wav, mel_denorm, flens, raw = jax.device_get(
-                    (wav, mel_denorm, flens, raw))
-            wavs, mels = [], []
-            for i in range(len(phoneme_seqs)):
-                n = int(flens[i])
-                if return_mels:
-                    mels.append(np.asarray(mel_denorm[i, :n]))
-                wavs.append(np.asarray(wav[i, : n * self.upsample, 0]))
-            return wavs, mels
+            return self._dispatch_speculative(
+                len(phoneme_seqs), phoneme, plens, prompt_ids, prompt_mask,
+                ref_mel, ref_lens, use_max, noise_scale, style_rng,
+                diffusion_rng, return_mels).result()
 
         frame_lens = self._dur_fn(self.variables, phoneme, plens, prompt_ids,
                                   prompt_mask, ref_mel, ref_lens, use_max,
@@ -494,8 +590,8 @@ class Synthesizer:
         else:
             prompt_ids, prompt_mask = None, None
             ref_mel, ref_lens = self._pad_ref_mels(reference_mels)
-        style_rng = jax.random.PRNGKey(seed)
-        diffusion_rng = jax.random.PRNGKey(seed + 1)
+        style_rng = _host_prng_key(seed)
+        diffusion_rng = _host_prng_key(seed + 1)
         margs = (self.variables, phoneme, plens, prompt_ids, prompt_mask,
                  ref_mel, ref_lens, use_max, noise_scale, style_rng,
                  diffusion_rng)
@@ -504,7 +600,7 @@ class Synthesizer:
             self.spec_requests += 1
             pred = min(
                 bucket_shape(
-                    max(1, int(np.ceil(float(np.max(np.asarray(plens)))
+                    max(1, int(np.ceil(float(np.max(plens))
                                        * self.spec_frames_per_phone))),
                     self.frame_quantum),
                 self.max_frames_cap)

@@ -212,6 +212,71 @@ def test_speculative_single_dispatch_matches_two_phase(tiny):
         np.testing.assert_array_equal(a, b)
 
 
+def test_synthesize_async_pipelines_requests(tiny):
+    """synthesize_async dispatches without blocking; two handles in
+    flight resolve to exactly the synchronous results (the serving-queue
+    primitive that overlaps request N+1's compute with N's readback)."""
+    import tests.test_train as tt
+
+    model, variables, ds = tiny
+    voc, voc_vars = _tiny_vocoder()
+    seqs = [list(ds[i]["phonemes"]) for i in range(2)]
+    prompts = ["a low calm voice", "bright fast speech"]
+    synth = Synthesizer(
+        model, variables, vocoder=voc, vocoder_variables=voc_vars,
+        tokenizer=tt.TokenHashTokenizer(),
+        mel_stats={"mean": MEAN, "std": STD},
+        frame_quantum=64, max_frames_cap=512, upsample=8,
+        speculative=True, spec_frames_per_phone=8.0)
+    ref1 = synth.synthesize(seqs, prompts=prompts, seed=2,
+                            return_mels=True)
+    ref2 = synth.synthesize(seqs[::-1], prompts=prompts[::-1], seed=5,
+                            return_mels=True)
+
+    h1 = synth.synthesize_async(seqs, prompts=prompts, seed=2,
+                                return_mels=True)
+    h2 = synth.synthesize_async(seqs[::-1], prompts=prompts[::-1], seed=5,
+                                return_mels=True)  # in flight behind h1
+    out1, out2 = h1.result(), h2.result()
+    for (wr, mr), (wa, ma) in ((ref1, out1), (ref2, out2)):
+        for a, b in zip(wr, wa):
+            np.testing.assert_array_equal(a, b)
+        for a, b in zip(mr, ma):
+            np.testing.assert_array_equal(a, b)
+
+    synth_nospec = Synthesizer(
+        model, variables, vocoder=voc, vocoder_variables=voc_vars,
+        tokenizer=tt.TokenHashTokenizer(),
+        mel_stats={"mean": MEAN, "std": STD},
+        frame_quantum=64, max_frames_cap=512, upsample=8)
+    with pytest.raises(ValueError):
+        synth_nospec.synthesize_async(seqs, prompts=prompts)
+
+
+def test_return_int16_quantizes_on_device(tiny):
+    """return_int16=True ships PCM16 from the fused program; values are
+    the f32 waveform quantized (round + clip), same lengths."""
+    import tests.test_train as tt
+
+    model, variables, ds = tiny
+    voc, voc_vars = _tiny_vocoder()
+    seqs = [list(ds[i]["phonemes"]) for i in range(2)]
+    prompts = ["a low calm voice", "bright fast speech"]
+    kw = dict(vocoder=voc, vocoder_variables=voc_vars,
+              tokenizer=tt.TokenHashTokenizer(),
+              mel_stats={"mean": MEAN, "std": STD},
+              frame_quantum=64, max_frames_cap=512, upsample=8,
+              speculative=True, spec_frames_per_phone=8.0)
+    f32 = Synthesizer(model, variables, **kw)
+    wav_f, _ = f32.synthesize(seqs, prompts=prompts, seed=2)
+    i16 = Synthesizer(model, variables, return_int16=True, **kw)
+    wav_i, _ = i16.synthesize(seqs, prompts=prompts, seed=2)
+    for a, b in zip(wav_f, wav_i):
+        assert b.dtype == np.int16 and a.shape == b.shape
+        expect = np.clip(np.round(a * 32767.0), -32768, 32767)
+        np.testing.assert_array_equal(expect.astype(np.int16), b)
+
+
 def test_speculative_mispredict_redispatches_correctly(tiny):
     """A too-small bucket prediction is detected from the fused
     program's own unclipped duration sums and transparently re-run at
