@@ -205,7 +205,13 @@ def main():
 
     # transport baselines on this tunneled backend (an on-host serving
     # stack pays neither): a null program (scalar readback) and a
-    # payload-null returning the exact tensors a request reads back
+    # payload-null that is a REQUEST-SHAPED null — it takes the exact
+    # same fresh host numpy argument set a request ships (phonemes,
+    # lengths, prompt ids/mask, two raw PRNG keys) and returns the exact
+    # tensors a request reads back (wav, frame lens, raw dur sums), with
+    # ~zero compute in between. wall(request) - wall(payload_null) is
+    # therefore device compute alone: every host->device arg transfer,
+    # enqueue, and readback RTT appears in both.
     null = jax.jit(lambda z: z + 1.0)
     zv = jnp.zeros((8, 128), jnp.float32)
     float(jnp.sum(null(zv)))  # compile
@@ -217,20 +223,33 @@ def main():
 
     wav_dtype = jnp.float32 if args.f32_wav else jnp.int16
     Ts = FRAMES * HOP
+    tok = FixedTokenizer()
 
     @jax.jit
-    def payload_null(z):
-        s = z[0, 0]
+    def payload_null(phoneme, plens, pids, pmask, k1, k2):
+        s = (phoneme[0, 0] + plens[0] + pids[0, 0] + pmask[0, 0]
+             + k1[0].astype(jnp.int32) + k2[0].astype(jnp.int32))
         return (jnp.zeros((B, Ts, 1), wav_dtype) + s.astype(wav_dtype),
-                jnp.zeros((B,), jnp.int32) + s.astype(jnp.int32),
-                jnp.zeros((B,), jnp.float32) + s)
+                jnp.zeros((B,), jnp.int32) + s,
+                jnp.zeros((B,), jnp.int32) + s)
 
-    jax.device_get(payload_null(zv))  # compile
-    def payload_block():
+    def payload_args(seed):
+        # fresh host arrays each call, like a real request's padding path
+        rng_ = np.random.RandomState(seed)
+        phoneme = rng_.randint(1, 90, (B, TP)).astype(np.int32)
+        plens = np.full((B,), TP, np.int32)
+        pids, pmask = tok.batch_encode(prompts)
+        k = np.array([0, seed], np.uint32)
+        return phoneme, plens, pids, pmask, k, np.array([0, seed + 1],
+                                                        np.uint32)
+
+    jax.device_get(payload_null(*payload_args(0)))  # compile
+    def payload_block(seed):
+        a = payload_args(seed)
         t0 = time.perf_counter()
-        jax.device_get(payload_null(zv))
+        jax.device_get(payload_null(*a))
         return time.perf_counter() - t0
-    payload_rtt = float(np.median([payload_block() for _ in range(7)]))
+    payload_rtt = float(np.median([payload_block(i) for i in range(7)]))
     dev_rtf = max(wall - payload_rtt, 0.0) / audio_sec
 
     print(json.dumps({
@@ -253,9 +272,10 @@ def main():
                 "the pipelined synthesize_async cadence (queue_depth in "
                 "flight). device_latency_rtf = (single wall - "
                 "payload_null) / audio, where payload_null is a "
-                "dispatch+readback of the exact request payload through "
-                "this tunnel with ~zero compute — transport no on-host "
-                "deployment pays.",
+                "REQUEST-SHAPED null: same fresh host args in, same "
+                "output tensors back, ~zero compute — so the subtraction "
+                "isolates device compute; the rest is tunnel transport "
+                "no on-host deployment pays.",
     }), file=sys.stderr)
 
     if args.ttfa:

@@ -116,6 +116,76 @@ def main():
         return ("conformer encoder",
                 lambda: setattr(conformer.ConformerEncoder, "__call__", orig))
 
+    # ---- sub-component stubs (VERDICT r3 #4: attribute the VA's
+    # in-situ delta and the ~4 ms residual at component level) --------
+
+    def stub_fpn():
+        import promptttspp_tpu.models.frame_prior as fp
+
+        orig = fp.FramePriorNetwork.__call__
+
+        def fake(self, x, mask, train=False):
+            return x * mask + jnp.mean(x)
+        fp.FramePriorNetwork.__call__ = fake
+        return ("va.frame_prior_network (6x conv k17)",
+                lambda: setattr(fp.FramePriorNetwork, "__call__", orig))
+
+    def stub_pitch():
+        orig = va_mod.Predictor.__call__
+
+        def fake(self, x, mask, train=False):
+            s = jnp.mean(x)
+            return (jnp.zeros(x.shape[:2] + (self.out_channels,),
+                              x.dtype) + s) * mask
+        va_mod.Predictor.__call__ = fake
+        return ("va.pitch_predictor (5x conv k5)",
+                lambda: setattr(va_mod.Predictor, "__call__", orig))
+
+    def stub_durpred():
+        orig = va_mod.MDNPredictor.__call__
+
+        def fake(self, x, mask, train=False):
+            B_, Tp_ = x.shape[:2]
+            s = jnp.mean(x).astype(jnp.float32)
+            z = jnp.zeros((B_, Tp_, self.num_gaussians, self.out_channels),
+                          jnp.float32) + s
+            return z, z, z
+        va_mod.MDNPredictor.__call__ = fake
+        return ("va.duration_predictor (MDN, phone res)",
+                lambda: setattr(va_mod.MDNPredictor, "__call__", orig))
+
+    def stub_expand():
+        orig = va_mod.expand_by_durations
+
+        def fake(x, durations, phone_mask, num_frames):
+            s = jnp.mean(x) + jnp.mean(durations.astype(x.dtype)) * 0.0
+            return jnp.broadcast_to(s, (x.shape[0], num_frames, x.shape[2]))
+        va_mod.expand_by_durations = fake
+        return ("va.expand_by_durations (einsum scatter)",
+                lambda: setattr(va_mod, "expand_by_durations", orig))
+
+    def stub_gradnorm():
+        import optax
+
+        orig = optax.global_norm
+
+        def fake(tree):
+            return jnp.float32(0.0)
+        optax.global_norm = fake  # the metric only; clip_by_global_norm
+        # resolves the internal linear_algebra.global_norm, not this alias
+        return ("grad_norm metric (optax.global_norm)",
+                lambda: setattr(optax, "global_norm", orig))
+
+    def stub_all():
+        restores = [s()[1] for s in (stub_decoder, stub_gst, stub_va,
+                                     stub_encoder)]
+
+        def restore():
+            for r in restores:
+                r()
+        return ("ALL modules stubbed (= embeddings + losses + masks + "
+                "optimizer + dispatch floor)", restore)
+
     def run_one(name, stubber):
         if stubber is not None:
             label, restore = stubber()
@@ -141,7 +211,10 @@ def main():
     print(f"train-step ablation  B={B} Tp={Tp} Tf={Tf}")
     t_full = run_one("FULL step", None)
     for key, stubber in (("decoder", stub_decoder), ("gst", stub_gst),
-                         ("va", stub_va), ("encoder", stub_encoder)):
+                         ("va", stub_va), ("encoder", stub_encoder),
+                         ("fpn", stub_fpn), ("pitch", stub_pitch),
+                         ("durpred", stub_durpred), ("expand", stub_expand),
+                         ("gradnorm", stub_gradnorm), ("all", stub_all)):
         if only is not None and key not in only:
             continue
         t = run_one("", stubber)

@@ -258,9 +258,12 @@ def test_variance_adaptor_parity():
 
     # batched inference parity: reference pads to its dynamic max frames
     Tf_inf = io["x_inf"].shape[-1]
-    x_out, flens_out, fmask_out, _, _ = va.apply(
+    x_out, flens_out, fmask_out, _, _, raw_flens = va.apply(
         variables, x, pmask, Tf_inf, method=VarianceAdaptor.infer)
     ref_flens = io["fmask_inf"][:, 0, :].sum(-1)
     np.testing.assert_array_equal(np.asarray(flens_out), ref_flens)
+    # no overflow in this fixture: unclipped duration sums == clipped
+    np.testing.assert_array_equal(np.asarray(raw_flens),
+                                  np.asarray(flens_out))
     ref_x = io["x_inf"].transpose(0, 2, 1)
     np.testing.assert_allclose(np.asarray(x_out), ref_x, atol=3e-5, rtol=1e-4)
