@@ -120,6 +120,9 @@ def main():
     ap.add_argument("--ttfa", action="store_true",
                     help="also measure time-to-first-audio via "
                     "synthesize_streaming (chunked vocoder)")
+    ap.add_argument("--first-chunk", type=int, default=0,
+                    help="TTFA ramp: frames in the FIRST streamed chunk "
+                    "(0 = full chunk_frames)")
     ap.add_argument("--iters", type=int, default=7)
     args = ap.parse_args()
 
@@ -150,6 +153,7 @@ def main():
         phone_quantum=16, frame_quantum=128, max_frames_cap=2048,
         speculative=not args.two_phase, spec_frames_per_phone=10.0,
         return_int16=not args.f32_wav,
+        first_chunk_frames=args.first_chunk or None,
         decode_param_dtype="bfloat16" if args.decode_bf16 else None)
 
     rng = np.random.RandomState(3)

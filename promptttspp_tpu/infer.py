@@ -102,6 +102,7 @@ class Synthesizer:
         speculative: bool = False,
         spec_frames_per_phone: float = 10.0,
         return_int16: bool = False,
+        first_chunk_frames: Optional[int] = None,
     ):
         """vocoder_mode: "batched" (one call over the utterance batch),
         "chunked" (fold fixed-size mel chunks into the batch axis — one
@@ -178,6 +179,7 @@ class Synthesizer:
         self.max_frames_cap = max_frames_cap
         self.vocoder_mode = vocoder_mode
         self.chunk_frames = chunk_frames
+        self.first_chunk_frames = first_chunk_frames
         self.halo_frames = halo_frames
         self.upsample = upsample
         self.frame_sharded_decode = frame_sharded_decode
@@ -568,7 +570,9 @@ class Synthesizer:
 
         Time-to-first-audio = one fused acoustic dispatch (text ->
         denormalized mel + gated F0, the diffusion decode included) plus
-        ONE vocoder chunk (``chunk_frames`` x 10 ms of audio) — the
+        ONE vocoder chunk (``chunk_frames`` x 10 ms of audio; a smaller
+        ``first_chunk_frames`` ramps the first chunk down so the first
+        audio costs proportionally less vocoder compute) — the
         vocoder runs chunk-by-chunk with halo context and a
         phase-continuous NSF source (vocoders/streaming.py), so the
         stitched stream equals the batched waveform in the interior.
@@ -632,6 +636,7 @@ class Synthesizer:
                 self.vocoder, self.vocoder_variables, mel_denorm, f0,
                 chunk_frames=self.chunk_frames,
                 halo_frames=self.halo_frames, upsample=self.upsample,
+                first_chunk_frames=self.first_chunk_frames,
                 deterministic=True):
             yield np.asarray(wav)[:, :, 0]
         return flens_np

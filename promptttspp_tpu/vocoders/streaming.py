@@ -54,6 +54,23 @@ def _vocoder_sr(vocoder, sample_rate):
     return sample_rate or getattr(vocoder, "sampling_rate", None)
 
 
+def _chunk_grid(T, step, first=None):
+    """Output spans [(start, width), ...] covering [0, padded T).
+
+    ``first`` < ``step`` shrinks only the FIRST chunk — the
+    time-to-first-audio ramp: the first audible chunk costs
+    ~first/step of a full chunk's vocoder compute (plus one extra
+    compiled shape), while steady-state throughput keeps the full
+    chunk size. Returns (spans, padded_total)."""
+    if first is None or first >= step or first >= T:
+        n = -(-T // step)
+        return [(i * step, step) for i in range(n)], n * step
+    n_rest = -(-(T - first) // step)
+    spans = [(0, first)] + [(first + i * step, step)
+                            for i in range(n_rest)]
+    return spans, first + n_rest * step
+
+
 # jitted vocoder apply per (vocoder, static kwargs), shared by the
 # chunked/streaming/sharded paths: a fresh jax.jit (or eager apply)
 # every call would recompile (or op-by-op dispatch) on each synthesis.
@@ -117,15 +134,19 @@ def vocode_chunked(vocoder, variables, mel, f0=None, chunk_frames: int = 256,
 def vocode_streaming(vocoder, variables, mel, f0=None,
                      chunk_frames: int = 256, halo_frames: int = 16,
                      upsample: int = 240, sample_rate: Optional[int] = None,
+                     first_chunk_frames: Optional[int] = None,
                      **apply_kwargs) -> Iterator[jnp.ndarray]:
     """Sequential generator of wav chunks [B, chunk*upsample, 1] (the last
     chunk may be shorter). One compiled shape regardless of utterance
     length; constant device memory; NSF source phase continuous across
-    chunks (see vocode_chunked)."""
+    chunks (see vocode_chunked).
+
+    first_chunk_frames: optional smaller FIRST chunk (the
+    time-to-first-audio ramp; see _chunk_grid) — one extra compiled
+    shape, same stitched waveform."""
     B, T, M = mel.shape
     step = chunk_frames
-    n_chunks = -(-T // step)
-    Tp = n_chunks * step
+    spans, Tp = _chunk_grid(T, step, first_chunk_frames)
     mel_p = _pad_to(mel, Tp + halo_frames)
     mel_p = jnp.pad(mel_p, ((0, 0), (halo_frames, 0), (0, 0)), mode="edge")
     phase0 = None
@@ -134,15 +155,14 @@ def vocode_streaming(vocoder, variables, mel, f0=None,
         f0_p = jnp.pad(f0_p, ((0, 0), (halo_frames, 0), (0, 0)), mode="edge")
         sr = _vocoder_sr(vocoder, sample_rate)
         if sr:
-            starts = np.arange(n_chunks) * step
+            starts = np.array([s for s, _ in spans])
             phase0 = _chunk_phase0(f0_p, starts, halo_frames, upsample, sr)
 
-    win = step + 2 * halo_frames
     run = _cached_apply(vocoder, apply_kwargs)
     h = halo_frames * upsample
 
-    for ci in range(n_chunks):
-        s = ci * step
+    for ci, (s, w) in enumerate(spans):
+        win = w + 2 * halo_frames
         margs = (jax.lax.dynamic_slice_in_dim(mel_p, s, win, axis=1),)
         kwargs = {}
         if f0 is not None:
@@ -150,9 +170,9 @@ def vocode_streaming(vocoder, variables, mel, f0=None,
                 jax.lax.dynamic_slice_in_dim(f0_p, s, win, axis=1),)
             if phase0 is not None:
                 kwargs["phase0"] = phase0[:, ci:ci + 1]
-        wav = run(variables, margs, kwargs)[:, h:h + step * upsample, :]
-        remaining = T * upsample - ci * step * upsample
-        if remaining < step * upsample:
+        wav = run(variables, margs, kwargs)[:, h:h + w * upsample, :]
+        remaining = T * upsample - s * upsample
+        if remaining < w * upsample:
             wav = wav[:, :remaining, :]
         yield wav
 

@@ -136,3 +136,42 @@ def test_f0_aware_sharded_matches_full():
     assert sharded.shape == full.shape
     err = np.abs(np.asarray(sharded) - np.asarray(full))
     assert err[:, 12 * 8: -12 * 8].max() < 2e-3, err.max()
+
+
+def test_streaming_first_chunk_ramp_matches_full():
+    """TTFA ramp: a smaller FIRST chunk must not change the stitched
+    stream (interior parity with full synthesis, exact parity with the
+    un-ramped stream everywhere both are halo-converged)."""
+    voc, variables = small_vocoder()
+    rng = np.random.RandomState(6)
+    mel = jnp.asarray(rng.randn(1, 70, 12).astype(np.float32))
+    full = voc.apply(variables, mel)
+    parts = list(vocode_streaming(voc, variables, mel, chunk_frames=32,
+                                  halo_frames=12, upsample=8,
+                                  first_chunk_frames=8))
+    assert parts[0].shape[1] == 8 * 8  # first audio after 8 frames
+    stream = np.concatenate([np.asarray(p) for p in parts], axis=1)
+    assert stream.shape == full.shape
+    err = np.abs(stream - np.asarray(full))
+    assert err[:, 12 * 8: -12 * 8].max() < 1e-4, err.max()
+
+
+def test_f0_aware_streaming_ramp_phase_continuous():
+    """The ramp's irregular chunk grid must keep the NSF source phase
+    continuous (starts are no longer multiples of chunk_frames)."""
+    voc, variables = f0_vocoder()
+    rng = np.random.RandomState(7)
+    T = 96
+    mel = jnp.asarray(rng.randn(1, T, 12).astype(np.float32))
+    f0 = jnp.asarray(
+        (150 + 20 * np.sin(np.linspace(0, 6, T)))[None, :, None]
+        .astype(np.float32))
+    full = voc.apply(variables, mel, f0, deterministic=True)
+    parts = list(vocode_streaming(voc, variables, mel, f0,
+                                  chunk_frames=32, halo_frames=12,
+                                  upsample=8, first_chunk_frames=8,
+                                  deterministic=True))
+    stream = np.concatenate([np.asarray(p) for p in parts], axis=1)
+    assert stream.shape == full.shape
+    err = np.abs(stream - np.asarray(full))
+    assert err[:, 12 * 8: -12 * 8].max() < 2e-3, err.max()
