@@ -137,7 +137,56 @@ def main():
             print(f"  full step bf16={int(bf16)} {fz:>9}: {t:7.2f} ms "
                   f"({frames / t * 1e3:,.0f} frames/s){mfu_s}")
 
-    if only == "step":
+    # ---- sustained cadence: N steps chained inside ONE jit ----
+    # The per-call `timed` above includes per-dispatch host issue cost
+    # (~1 ms on this 1-core tunneled host). Chaining steps through
+    # lax.scan (carry = train state, exactly what an epoch does) and
+    # differencing time(2N) - time(N) with a scalar float() readback
+    # cancels every fixed cost and is robust to the axon backend's
+    # unreliable block_until_ready (see BENCHMARKS.md timing note).
+    if only in ("", "step", "scan"):
+        import functools as _ft
+
+        from jax import lax as _lax
+
+        def sustained(stepfn, st, n):
+            @_ft.partial(jax.jit, static_argnums=(3,))
+            def run(st_, b_, r_, n_):
+                def body(carry, _):
+                    ns, m = stepfn(carry, b_, r_)
+                    return ns, m["loss"].astype(jnp.float32)
+                _, losses = _lax.scan(body, st_, None, length=n_)
+                return jnp.sum(losses)
+
+            float(run(st, batch, rng, n))  # warm/compile
+            t0 = time.perf_counter()
+            float(run(st, batch, rng, n))
+            return time.perf_counter() - t0
+
+        for bf16 in (False, True):
+            step_in = make_train_step(model, tx, donate=False, bf16=bf16,
+                                      freeze_mask=mask)
+            n = 10
+            t1 = sustained(step_in, state, n)
+            t2 = sustained(step_in, state, 2 * n)
+            ms = (t2 - t1) / n * 1e3
+            mfu_s = ""
+            try:
+                cost = step_in.lower(state, batch, rng).compile()\
+                    .cost_analysis()
+                if isinstance(cost, (list, tuple)):
+                    cost = cost[0]
+                flops = float(cost.get("flops", 0.0))
+                if flops > 0:
+                    mfu_s = (f"  {flops / 1e9:7.1f} GFLOP/step, "
+                             f"MFU {flops / (ms / 1e3) / peak * 100:5.2f}%")
+            except Exception as e:
+                mfu_s = f"  (no cost analysis: {type(e).__name__})"
+            print(f"  sustained (scan-chained) bf16={int(bf16)} freeze+sg: "
+                  f"{ms:7.2f} ms/step ({frames / ms * 1e3:,.0f} frames/s)"
+                  f"{mfu_s}")
+
+    if only in ("step", "scan"):
         return
 
     # ---- phase decomposition: fwd / +bwd / +optimizer ----
