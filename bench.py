@@ -29,10 +29,18 @@ Serving configuration measured (and reported alongside on stderr):
   fused text->wav program dispatched immediately; its own unclipped
   duration sums verify the prediction in the readback that delivers the
   audio. ``--two-phase`` measures the duration-prepass path instead.
-- the random-init duration head is biased to exactly 10 frames/phone so
-  the workload is the same 640-frame / 6.4 s utterance every round has
-  benchmarked (a real checkpoint would produce real durations; the
-  device work is identical).
+- the random-init duration head is biased to a constant
+  ``--head-fpp`` frames/phone (default 10 = the standard 640-frame /
+  6.4 s utterance every round has benchmarked). NOTE: with the default
+  head the speculative predictor's 10-frames/phone assumption is
+  exactly right, so "0 mispredicts" validates the dispatch/verify
+  PLUMBING only — it says nothing about mispredict rates on real
+  duration distributions (those are quantified in
+  scripts/spec_serving_eval.py and BENCHMARKS.md §Speculative).
+  ``--head-fpp 7`` decodes real-speech-average durations instead: the
+  speculative bucket then over-provisions (640 vs the true 512-frame
+  bucket) — compare against ``--two-phase --head-fpp 7`` to measure the
+  over-provision cost the speculative single dispatch pays.
 - a null-program dispatch+readback is measured alongside: over this
   tunneled backend it is pure transport (~tens of ms) that no on-host
   serving stack would pay; device_latency_rtf = (wall - null)/audio.
@@ -123,6 +131,11 @@ def main():
     ap.add_argument("--first-chunk", type=int, default=0,
                     help="TTFA ramp: frames in the FIRST streamed chunk "
                     "(0 = full chunk_frames)")
+    ap.add_argument("--head-fpp", type=float, default=10.0,
+                    help="frames/phone the biased duration head emits "
+                    "(10 = matches the speculative predictor exactly -> "
+                    "0 mispredicts BY CONSTRUCTION; 7 = real-speech "
+                    "average -> measures speculative over-provisioning)")
     ap.add_argument("--iters", type=int, default=7)
     args = ap.parse_args()
 
@@ -130,8 +143,18 @@ def main():
         build_flagship_model, build_vocoder, example_batch, init_flagship)
     from promptttspp_tpu.infer import Synthesizer
 
+    from promptttspp_tpu.data.batching import bucket_shape
+
     SR, HOP = 24000, 240
-    B, TP, FRAMES = args.batch, 64, 640  # 64 phones x 10 = 6.4 s/utt
+    B, TP = args.batch, 64  # 64 phones; default 10 f/phone = 6.4 s/utt
+    true_frames = int(round(TP * args.head_fpp))
+    # the frame bucket each mode actually runs: speculative predicts
+    # from the phone count (10 f/phone default), two-phase buckets the
+    # head's true durations — at --head-fpp 7 these DIFFER (640 vs 512),
+    # which is exactly the over-provision under measurement
+    spec_bucket = min(bucket_shape(int(np.ceil(TP * 10.0)), 128), 2048)
+    true_bucket = min(bucket_shape(true_frames, 128), 2048)
+    FRAMES = true_bucket if args.two_phase else spec_bucket
 
     overrides = ([f"+model.decoder.pndm_speedup={args.pndm_speedup}"]
                  if args.pndm_speedup else [])
@@ -140,7 +163,7 @@ def main():
     model = build_flagship_model(overrides)
     variables = init_flagship(model, example_batch(B=B, Tp=TP, Tf=FRAMES,
                                                    L=32))
-    variables = bias_duration_head(variables, 10.0)
+    variables = bias_duration_head(variables, args.head_fpp)
 
     vocoder = build_vocoder("bigvgan_f0")
     voc_vars = vocoder.init(
@@ -266,6 +289,10 @@ def main():
         "dispatches_per_request": 2 if args.two_phase else 1,
         "spec_requests": synth.spec_requests,
         "spec_mispredicts": synth.spec_mispredicts,
+        "head_frames_per_phone": args.head_fpp,
+        "true_frames": true_frames,
+        "bucket_frames": FRAMES,
+        "over_provision": round(FRAMES / true_frames, 4),
         "device_latency_rtf": round(dev_rtf, 6),
         "null_dispatch_ms": round(null_rtt * 1e3, 2),
         "payload_null_ms": round(payload_rtt * 1e3, 2),
@@ -279,7 +306,13 @@ def main():
                 "REQUEST-SHAPED null: same fresh host args in, same "
                 "output tensors back, ~zero compute — so the subtraction "
                 "isolates device compute; the rest is tunnel transport "
-                "no on-host deployment pays.",
+                "no on-host deployment pays."
+                + (" spec_mispredicts=0 is BY CONSTRUCTION here (the "
+                   "head is pinned at the predictor's 10 f/phone) — "
+                   "plumbing validation only; real-distribution rates: "
+                   "scripts/spec_serving_eval.py."
+                   if (not args.two_phase and args.head_fpp == 10.0)
+                   else ""),
     }), file=sys.stderr)
 
     if args.ttfa:

@@ -101,6 +101,10 @@ class Synthesizer:
         pipeline_microbatches: int = 1,
         speculative: bool = False,
         spec_frames_per_phone: float = 10.0,
+        spec_duration_table: Optional[np.ndarray] = None,
+        spec_duration_std: Optional[np.ndarray] = None,
+        spec_margin: float = 3.0,
+        spec_rate_margin: float = 0.2,
         return_int16: bool = False,
         first_chunk_frames: Optional[int] = None,
     ):
@@ -130,7 +134,23 @@ class Synthesizer:
         and verifies the prediction. On overflow (true frames > bucket)
         the request transparently re-runs at the right bucket — always
         correct, just slower for that request (track via
-        ``spec_mispredicts``/``spec_requests``). Note the diffusion
+        ``spec_mispredicts``/``spec_requests``).
+
+        spec_duration_table / spec_duration_std: per-phone-id expected
+        frames and std (arrays indexed by phoneme id; derive from a
+        training CSV with ``scripts/make_spec_duration_table.py``). When
+        given, the bucket prediction is per-request statistical instead
+        of the flat frames-per-phone bound: predicted frames =
+        sum(mean[phones]) * (1 + ``spec_rate_margin``)
+        + ``spec_margin`` * sqrt(sum(std[phones]^2)).
+        The additive term is the independent-per-phone CLT tail; the
+        multiplicative term covers utterance-level speaking-rate
+        variation, which is CORRELATED across the utterance and
+        dominates the tail for long texts (a pure k-sigma CLT margin
+        under-covers it — quantified in BENCHMARKS.md §Speculative,
+        scripts/spec_serving_eval.py; defaults margin=3, rate=0.2 sit
+        at <1% mispredict on speech-shaped duration statistics). Note
+        the diffusion
         noise tensor is drawn at the bucket shape, so a speculatively
         larger bucket yields a different (equally valid) sample than the
         exact-bucket dispatch would — the same class of shape-dependence
@@ -185,6 +205,18 @@ class Synthesizer:
         self.frame_sharded_decode = frame_sharded_decode
         self.speculative = speculative
         self.spec_frames_per_phone = float(spec_frames_per_phone)
+        self.spec_duration_table = None
+        self.spec_duration_std = None
+        if spec_duration_table is not None:
+            tbl = np.asarray(spec_duration_table, np.float64).copy()
+            tbl[0] = 0.0  # pad id contributes no frames
+            self.spec_duration_table = tbl
+            std = (np.zeros_like(tbl) if spec_duration_std is None
+                   else np.asarray(spec_duration_std, np.float64).copy())
+            std[0] = 0.0
+            self.spec_duration_std = std
+        self.spec_margin = float(spec_margin)
+        self.spec_rate_margin = float(spec_rate_margin)
         self.return_int16 = return_int16
         self.spec_requests = 0
         self.spec_mispredicts = 0
@@ -359,6 +391,125 @@ class Synthesizer:
         assert self.to_mel is not None, "to_mel transform required for wavs"
         return np.asarray(self._mel_fn(jnp.asarray(wav, jnp.float32)))
 
+    # ------------------------------------------------------------- prewarm
+    def _speculative_grid(self, max_phones: int):
+        """The exact (phone_bucket, frame_bucket) program set speculative
+        happy-path serving touches: for each phone bucket, the frame
+        buckets its admissible phone counts predict."""
+        pq, fq = self.phone_quantum, self.frame_quantum
+        if self.spec_duration_table is not None:
+            t = self.spec_duration_table[1:]
+            s = self.spec_duration_std[1:]
+            mean_fpp = float(t[t > 0].mean()) if (t > 0).any() else 10.0
+            mean_var = float((s[t > 0] ** 2).mean()) if (t > 0).any() else 0.0
+        pairs = []
+        p = pq
+        while True:
+            frames = set()
+            for l in range(p - pq + 1, p + 1):
+                if self.spec_duration_table is not None:
+                    f = (l * mean_fpp * (1.0 + self.spec_rate_margin)
+                         + self.spec_margin * np.sqrt(l * mean_var))
+                else:
+                    f = l * self.spec_frames_per_phone
+                fb = min(bucket_shape(max(1, int(np.ceil(f))), fq),
+                         self.max_frames_cap)
+                frames.add(fb)
+                if self.spec_duration_table is not None:
+                    # content-dependent predictions: pad one bucket out
+                    # each way so atypical texts stay on prewarmed shapes
+                    frames.add(max(fq, fb - fq))
+                    frames.add(min(self.max_frames_cap, fb + fq))
+            pairs.extend((p, f) for f in sorted(frames))
+            if p >= bucket_shape(max_phones, pq) or \
+                    max(frames) >= self.max_frames_cap:
+                break
+            p += pq
+        return pairs
+
+    def prewarm(self, batch_sizes=(1,), prompt_lens=(32,),
+                grid: str = "speculative", max_phones: int = 256,
+                use_max: bool = True, noise_scale: float = 0.5,
+                log=None):
+        """Compile the fused text->wav serving programs ahead of the
+        first request (the first request per (batch, phone-bucket,
+        frame-bucket, prompt-len) shape otherwise pays the full XLA
+        compile — minutes on a slow host). With JAX's persistent
+        compilation cache enabled (``jax_compilation_cache_dir`` /
+        ``JAX_COMPILATION_CACHE_DIR``), one deploy-time prewarm run makes
+        every later process's first request a cache deserialization —
+        measured numbers in BENCHMARKS.md §Serving cold start; CLI:
+        ``scripts/prewarm_serving.py``.
+
+        grid="speculative": exactly the shapes speculative happy-path
+        serving can hit for phone counts up to ``max_phones`` (plus the
+        duration pre-pass programs, which two-phase and mispredict
+        re-dispatch share). grid="full": every (phone, frame) bucket pair
+        up to (max_phones, max_frames_cap) — covers mispredict re-runs
+        too. Returns [{B, Tp, Tf, L, seconds}, ...] per program.
+        """
+        assert self._full_fn is not None, "prewarm requires a vocoder"
+        pq, fq = self.phone_quantum, self.frame_quantum
+        if grid == "speculative":
+            pairs = self._speculative_grid(max_phones)
+        elif grid == "full":
+            phones = range(pq, bucket_shape(max_phones, pq) + 1, pq)
+            pairs = [(p, f) for p in phones
+                     for f in range(fq, self.max_frames_cap + 1, fq)]
+        else:
+            raise ValueError(f"unknown prewarm grid {grid!r}")
+        rows = []
+        import time as _time
+
+        for B in batch_sizes:
+            for L in prompt_lens:
+                pids = np.ones((B, L), np.int32)
+                pmask = np.ones((B, L), np.int32)
+                k1, k2 = _host_prng_key(0), _host_prng_key(1)
+                for p, f in pairs:
+                    phoneme = np.ones((B, p), np.int32)
+                    plens = np.full((B,), p, np.int32)
+                    t0 = _time.perf_counter()
+                    out = self._full_fn(
+                        self.variables, self.vocoder_variables, phoneme,
+                        plens, pids, pmask, None, None, use_max,
+                        noise_scale, k1, k2, max_frames=f)
+                    jax.device_get(out[2])  # force the compile+run
+                    # the duration pre-pass for this phone bucket (the
+                    # two-phase and mispredict-verification sibling)
+                    jax.device_get(self._dur_fn(
+                        self.variables, phoneme, plens, pids, pmask,
+                        None, None, use_max, k1))
+                    dt = _time.perf_counter() - t0
+                    rows.append(dict(B=B, Tp=p, Tf=f, L=L,
+                                     seconds=round(dt, 2)))
+                    if log is not None:
+                        log(f"prewarm B={B} Tp={p} Tf={f} L={L}: "
+                            f"{dt:.1f}s")
+        return rows
+
+    def _predict_frames(self, phoneme, plens) -> int:
+        """Host-side frame-bucket prediction for speculative dispatch.
+
+        With a per-phone duration table: predicted frames = sum of the
+        request's per-phone means scaled by (1 + ``spec_rate_margin``)
+        (correlated speaking-rate headroom) + ``spec_margin`` standard
+        deviations of the sum (independent-phone CLT bound). Without
+        one: the flat ``spec_frames_per_phone`` upper bound on the max
+        phone count."""
+        if self.spec_duration_table is not None:
+            ids = np.asarray(phoneme)
+            mean = self.spec_duration_table[ids].sum(axis=1)
+            var = (self.spec_duration_std[ids] ** 2).sum(axis=1)
+            frames = float(np.max(
+                mean * (1.0 + self.spec_rate_margin)
+                + self.spec_margin * np.sqrt(var)))
+        else:
+            frames = float(np.max(plens)) * self.spec_frames_per_phone
+        return min(
+            bucket_shape(max(1, int(np.ceil(frames))), self.frame_quantum),
+            self.max_frames_cap)
+
     # ---------------------------------------------------------------- API
     def _dispatch_speculative(self, n_items, phoneme, plens, prompt_ids,
                               prompt_mask, ref_mel, ref_lens, use_max,
@@ -367,12 +518,7 @@ class Synthesizer:
         """Predict the frame bucket from the phone count, dispatch the
         fused text->wav program, return WITHOUT blocking."""
         self.spec_requests += 1
-        pred = min(
-            bucket_shape(
-                max(1, int(np.ceil(float(np.max(plens))
-                                   * self.spec_frames_per_phone))),
-                self.frame_quantum),
-            self.max_frames_cap)
+        pred = self._predict_frames(phoneme, plens)
         args = (phoneme, plens, prompt_ids, prompt_mask, ref_mel, ref_lens,
                 use_max, noise_scale, style_rng, diffusion_rng)
         out = self._full_fn(self.variables, self.vocoder_variables, *args,
@@ -468,7 +614,10 @@ class Synthesizer:
                     and self.vocoder_mode == "batched"
                     and not self.frame_sharded_decode)
 
-        if fused_ok and self.speculative and x_T is None:
+        # the speculative branch never threads x_T/zero_noise into its
+        # dispatch (x_T must match the exact frame bucket; zero_noise is
+        # a parity hook) — both route through the two-phase path below
+        if fused_ok and self.speculative and x_T is None and not zero_noise:
             return self._dispatch_speculative(
                 len(phoneme_seqs), phoneme, plens, prompt_ids, prompt_mask,
                 ref_mel, ref_lens, use_max, noise_scale, style_rng,
@@ -491,12 +640,13 @@ class Synthesizer:
                 noise_scale, style_rng, diffusion_rng,
                 max_frames=max_frames, x_T=x_T, zero_noise=zero_noise)
             wav_np = np.asarray(wav)
-            mel_np = np.asarray(mel_denorm)
+            mel_np = np.asarray(mel_denorm) if return_mels else None
             flens_np = np.asarray(flens)
             wavs, mels = [], []
             for i in range(len(phoneme_seqs)):
                 n = int(flens_np[i])
-                mels.append(mel_np[i, :n])
+                if return_mels:
+                    mels.append(mel_np[i, :n])
                 wavs.append(wav_np[i, : n * self.upsample, 0])
             return wavs, mels
 
@@ -546,10 +696,13 @@ class Synthesizer:
                     self._voc_fn(self.vocoder_variables, mel_denorm, f0))
         else:
             wav = None
-        mel_np = np.asarray(mel_denorm)  # one readback, not one per item
+        # one mel readback (not one per item), skipped entirely when the
+        # caller opted out — the ~200 KB/utt transfer is pure latency
+        mel_np = np.asarray(mel_denorm) if return_mels else None
         for i in range(len(phoneme_seqs)):
             n = int(flens_np[i])
-            mels.append(mel_np[i, :n])
+            if return_mels:
+                mels.append(mel_np[i, :n])
             if wav is not None:
                 wavs.append(wav[i, : n * self.upsample, 0])
         return wavs, mels
@@ -602,12 +755,7 @@ class Synthesizer:
 
         if self.speculative:
             self.spec_requests += 1
-            pred = min(
-                bucket_shape(
-                    max(1, int(np.ceil(float(np.max(plens))
-                                       * self.spec_frames_per_phone))),
-                    self.frame_quantum),
-                self.max_frames_cap)
+            pred = self._predict_frames(phoneme, plens)
             mel_denorm, f0, flens, raw = self._acoustic_fn(
                 *margs, max_frames=pred)
             flens_np, raw_np = jax.device_get((flens, raw))

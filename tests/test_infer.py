@@ -403,3 +403,149 @@ def test_decode_param_dtype_tracks_f32(tiny):
         assert np.all(np.isfinite(b))
         # same chain (not a different sample), deviation ~ bf16 rounding
         assert np.mean(np.abs(a - b)) < 0.05 * STD
+
+
+def test_zero_noise_routes_two_phase_under_speculative(tiny):
+    """synthesize(zero_noise=True) on a speculative Synthesizer must NOT
+    take the speculative branch (which never threads zero_noise into its
+    dispatch) — it routes two-phase and equals the non-speculative
+    zero_noise result exactly (ADVICE r4 #1)."""
+    import tests.test_train as tt
+
+    model, variables, ds = tiny
+    voc, voc_vars = _tiny_vocoder()
+    seqs = [list(ds[i]["phonemes"]) for i in range(2)]
+    prompts = ["a low calm voice", "bright fast speech"]
+    kw = dict(vocoder=voc, vocoder_variables=voc_vars,
+              tokenizer=tt.TokenHashTokenizer(),
+              mel_stats={"mean": MEAN, "std": STD},
+              frame_quantum=64, max_frames_cap=512, upsample=8)
+    plain = Synthesizer(model, variables, **kw)
+    wav_ref, mel_ref = plain.synthesize(seqs, prompts=prompts, seed=2,
+                                        zero_noise=True)
+    spec = Synthesizer(model, variables, speculative=True,
+                       spec_frames_per_phone=8.0, **kw)
+    wav_s, mel_s = spec.synthesize(seqs, prompts=prompts, seed=2,
+                                   zero_noise=True)
+    assert spec.spec_requests == 0  # speculative branch not taken
+    for a, b in zip(wav_ref, wav_s):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(mel_ref, mel_s):
+        np.testing.assert_array_equal(a, b)
+    # and zero_noise is actually honored: a second seed gives the same
+    # mel (ancestral noise zeroed -> deterministic given the style)
+    wav_s2, _ = spec.synthesize(seqs, prompts=prompts, seed=2,
+                                zero_noise=True)
+    for a, b in zip(wav_s, wav_s2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_return_mels_false_all_paths(tiny):
+    """return_mels=False returns [] for mels (and skips the readback) on
+    the speculative, fused two-phase, AND unfused fallback paths
+    (ADVICE r4 #2); waveforms are unaffected."""
+    import tests.test_train as tt
+
+    model, variables, ds = tiny
+    voc, voc_vars = _tiny_vocoder()
+    seqs = [list(ds[i]["phonemes"]) for i in range(2)]
+    prompts = ["a low calm voice", "bright fast speech"]
+    kw = dict(vocoder=voc, vocoder_variables=voc_vars,
+              tokenizer=tt.TokenHashTokenizer(),
+              mel_stats={"mean": MEAN, "std": STD},
+              frame_quantum=64, max_frames_cap=512, upsample=8)
+    fused = Synthesizer(model, variables, **kw)
+    wav_ref, mel_ref = fused.synthesize(seqs, prompts=prompts, seed=2)
+    assert len(mel_ref) == 2
+    wav_no, mel_no = fused.synthesize(seqs, prompts=prompts, seed=2,
+                                      return_mels=False)
+    assert mel_no == []
+    for a, b in zip(wav_ref, wav_no):
+        np.testing.assert_array_equal(a, b)
+
+    spec = Synthesizer(model, variables, speculative=True,
+                       spec_frames_per_phone=8.0, **kw)
+    wav_sp, mel_sp = spec.synthesize(seqs, prompts=prompts, seed=2,
+                                     return_mels=False)
+    assert mel_sp == []
+
+    chunked = Synthesizer(model, variables, vocoder_mode="chunked",
+                          chunk_frames=16, halo_frames=8, **kw)
+    wav_ch, mel_ch = chunked.synthesize(seqs, prompts=prompts, seed=2,
+                                        return_mels=False)
+    assert mel_ch == [] and len(wav_ch) == 2
+
+
+def test_spec_duration_table_predictor(tiny):
+    """Per-phone duration-table prediction: the bucket tracks the
+    request's expected total frames + margin sigmas instead of the flat
+    frames-per-phone bound, and the result still equals two-phase."""
+    import tests.test_train as tt
+
+    model, variables, ds = tiny
+    voc, voc_vars = _tiny_vocoder()
+    seqs = [list(ds[i]["phonemes"]) for i in range(2)]
+    prompts = ["a low calm voice", "bright fast speech"]
+    kw = dict(vocoder=voc, vocoder_variables=voc_vars,
+              tokenizer=tt.TokenHashTokenizer(),
+              mel_stats={"mean": MEAN, "std": STD},
+              frame_quantum=64, max_frames_cap=512, upsample=8)
+    n_sym = int(max(max(s) for s in seqs)) + 1
+    table = np.full((n_sym,), 6.0)
+    std = np.full((n_sym,), 2.0)
+    spec = Synthesizer(model, variables, speculative=True,
+                       spec_duration_table=table, spec_duration_std=std,
+                       spec_margin=3.0, spec_rate_margin=0.0, **kw)
+    # host math check: mean=6*len, var=4*len per item, pad id excluded
+    phoneme, plens = spec._pad_phonemes(seqs)
+    L = max(len(s) for s in seqs)
+    expect = 6.0 * L + 3.0 * np.sqrt(4.0 * L)
+    got = spec._predict_frames(phoneme, plens)
+    assert got == min(bucket_shape(int(np.ceil(expect)), 64), 512)
+
+    two_phase = Synthesizer(model, variables, **kw)
+    wav_ref, mel_ref = two_phase.synthesize(seqs, prompts=prompts, seed=2)
+    wav_s, mel_s = spec.synthesize(seqs, prompts=prompts, seed=2)
+    assert spec.spec_requests == 1
+    # equality only guaranteed when both picked the same bucket
+    if spec.spec_mispredicts == 0 and got == bucket_shape(
+            max(m.shape[0] for m in mel_ref), 64):
+        for a, b in zip(mel_ref, mel_s):
+            np.testing.assert_array_equal(a, b)
+    for w in wav_s:
+        assert np.isfinite(w).all()
+
+
+def test_prewarm_compiles_program_grid(tiny):
+    """prewarm() runs the fused program for every grid entry without a
+    request; subsequent speculative requests on prewarmed shapes hit the
+    compiled cache (smoke: results stay correct)."""
+    import tests.test_train as tt
+
+    model, variables, ds = tiny
+    voc, voc_vars = _tiny_vocoder()
+    kw = dict(vocoder=voc, vocoder_variables=voc_vars,
+              tokenizer=tt.TokenHashTokenizer(),
+              mel_stats={"mean": MEAN, "std": STD},
+              frame_quantum=64, max_frames_cap=256, upsample=8,
+              phone_quantum=16)
+    spec = Synthesizer(model, variables, speculative=True,
+                       spec_frames_per_phone=8.0, **kw)
+    rows = spec.prewarm(batch_sizes=(2,), prompt_lens=(16,),
+                        grid="speculative", max_phones=32)
+    assert rows and all(r["Tf"] <= 256 and r["Tp"] % 16 == 0
+                        for r in rows)
+    # speculative grid covers the prediction for every phone count <= 32
+    covered = {(r["Tp"], r["Tf"]) for r in rows}
+    for l in (1, 9, 17, 32):
+        p = bucket_shape(l, 16)
+        f = min(bucket_shape(int(np.ceil(l * 8.0)), 64), 256)
+        assert (p, f) in covered
+    # full grid enumerates every pair
+    rows_full = spec.prewarm(batch_sizes=(2,), prompt_lens=(16,),
+                             grid="full", max_phones=16)
+    assert {(r["Tp"], r["Tf"]) for r in rows_full} == {
+        (16, f) for f in (64, 128, 192, 256)}
+    seqs = [list(ds[i]["phonemes"]) for i in range(2)]
+    wavs, _ = spec.synthesize(seqs, prompts=["a", "b"], seed=2)
+    assert len(wavs) == 2 and all(np.isfinite(w).all() for w in wavs)
