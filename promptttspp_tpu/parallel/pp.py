@@ -140,7 +140,10 @@ def denoise_pipelined(mesh: Mesh, diffnet, params, x, t, cond, mask=None,
     mask [B, T, 1] or None (per-frame mask applied inside every residual
     block, exactly like the single-device forward).
     B must be divisible by ``n_microbatches`` (default: one microbatch
-    per stage); ``residual_layers`` must split into equal stages whose
+    per stage) times the ``batch_axis`` shard count when set — the
+    microbatch fold is shard-local (each data shard folds its own
+    resident rows), so DPxPP adds no cross-shard activation traffic;
+    ``residual_layers`` must split into equal stages whose
     size is a multiple of ``dilation_cycle_length`` (the dilation of a
     block then depends only on its in-stage slot, keeping every stage's
     program identical and the conv dilations static).
@@ -163,8 +166,11 @@ def denoise_pipelined(mesh: Mesh, diffnet, params, x, t, cond, mask=None,
             f"cycle {cycle} so per-slot dilations are stage-invariant")
     M = n_microbatches or S
     B = x.shape[0]
-    if B % M != 0:
-        raise ValueError(f"batch {B} not divisible into {M} microbatches")
+    D = mesh.shape[batch_axis] if batch_axis else 1
+    if B % (M * D) != 0:
+        raise ValueError(
+            f"batch {B} not divisible into {M} microbatches"
+            + (f" x {D} '{batch_axis}' shards" if batch_axis else ""))
 
     # ---- replicated prologue: input projection + step embedding MLP
     h = jax.nn.relu(_conv1x1(params["input_projection"], x))
@@ -172,13 +178,6 @@ def denoise_pipelined(mesh: Mesh, diffnet, params, x, t, cond, mask=None,
     t_emb = _dense(params["mlp_0"], t_emb)
     t_emb = t_emb * jnp.tanh(jax.nn.softplus(t_emb))  # mish
     t_emb = _dense(params["mlp_2"], t_emb)
-
-    mb = B // M
-    h_mb = h.reshape((M, mb) + h.shape[1:])
-    cond_mb = cond.reshape((M, mb) + cond.shape[1:])
-    temb_mb = t_emb.reshape((M, mb) + t_emb.shape[1:])
-    mask_mb = (None if mask is None
-               else mask.reshape((M, mb) + mask.shape[1:]))
 
     slabs = _stack_layer_params(params, L, S)
 
@@ -195,6 +194,18 @@ def denoise_pipelined(mesh: Mesh, diffnet, params, x, t, cond, mask=None,
     def pipeline(slab, h_s, cond_s, temb_s, mask_s):
         slab = jax.tree.map(lambda a: a[0], slab)  # [1, per_stage,...]->[ps]
         s = lax.axis_index("model")
+        # the microbatch fold happens SHARD-LOCALLY (inside shard_map):
+        # each data shard splits its own resident row block into (M, mb)
+        # so microbatch rows never cross data shards — a host-side global
+        # B->(M, mb) reshape would interleave shards' rows and force an
+        # implicit all-to-all of activations on every denoiser call.
+        # Per-row results are grouping-invariant (rows never interact
+        # within a microbatch), and the fold is inverted on the way out.
+        def fold(a):
+            return a.reshape((M, a.shape[0] // M) + a.shape[1:])
+
+        h_s, cond_s, temb_s = fold(h_s), fold(cond_s), fold(temb_s)
+        mask_s = None if mask_s is None else fold(mask_s)
         zero = jnp.zeros_like(h_s[0])
 
         def tick(carry, tk):
@@ -219,14 +230,16 @@ def denoise_pipelined(mesh: Mesh, diffnet, params, x, t, cond, mask=None,
         (_, _, out_skip), _ = lax.scan(
             tick, carry, jnp.arange(M + S - 1))
         # results live on the last stage; broadcast to all
-        return lax.psum(
+        out_skip = lax.psum(
             jnp.where(s == S - 1, 1.0, 0.0) * out_skip, "model")
+        # invert the shard-local microbatch fold -> [B_local, T, C]
+        return out_skip.reshape((-1,) + out_skip.shape[2:])
 
-    act_spec = P(None, batch_axis) if batch_axis else P()
+    act_spec = P(batch_axis) if batch_axis else P()
     in_specs = [P("model"), act_spec, act_spec, act_spec,
-                None if mask_mb is None else act_spec]
-    args = [slabs, h_mb, cond_mb, temb_mb, mask_mb]
-    if mask_mb is None:
+                None if mask is None else act_spec]
+    args = [slabs, h, cond, t_emb, mask]
+    if mask is None:
         # shard_map specs must mirror the arg pytree; drop the None leaf
         in_specs = in_specs[:-1]
         args = args[:-1]
@@ -243,6 +256,6 @@ def denoise_pipelined(mesh: Mesh, diffnet, params, x, t, cond, mask=None,
     )(*args)
 
     # ---- replicated epilogue (`models/diffusion.py:153-156`)
-    out = skip_sum.reshape((B,) + skip_sum.shape[2:]) / math.sqrt(L)
+    out = skip_sum / math.sqrt(L)
     out = jax.nn.relu(_conv1x1(params["skip_projection"], out))
     return _conv1x1(params["output_projection"], out)
