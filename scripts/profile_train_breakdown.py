@@ -113,6 +113,17 @@ def main():
     import os
 
     peak = float(os.environ.get("GRAFT_PEAK_FLOPS", 197e12))
+    # analytic model FLOPs (the honest MFU numerator — kernel-shape
+    # matmul/conv accounting, fwd + 2x bwd on trainable modules, frozen
+    # BERT fwd-only; see analytic_flops.py). XLA's executed-HLO count is
+    # reported alongside as HFU (it includes padding/remat, so HFU >=
+    # MFU by construction).
+    from analytic_flops import train_flops as _analytic
+
+    a_flops, _ = _analytic(state.params, B, Tp, Tf,
+                           int(batch["prompt_ids"].shape[1]))
+    print(f"  analytic model FLOPs/step: {a_flops / 1e9:.1f} GFLOP "
+          f"(frozen-BERT convention)")
     full_state = state.replace(opt_state=tx.init(state.params))
     for bf16 in ((False, True) if only in ("", "step") else ()):
         for fz, fzmask, st in (("nofreeze", None, full_state),
@@ -129,8 +140,10 @@ def main():
                     cost = cost[0]
                 flops = float(cost.get("flops", 0.0))
                 if flops > 0:
-                    mfu = flops / (t / 1e3) / peak
-                    mfu_s = (f"  {flops / 1e9:7.1f} GFLOP/step, "
+                    hfu = flops / (t / 1e3) / peak
+                    mfu = a_flops / (t / 1e3) / peak
+                    mfu_s = (f"  HLO {flops / 1e9:7.1f} GFLOP "
+                             f"HFU {hfu * 100:5.2f}% | "
                              f"MFU {mfu * 100:5.2f}%")
             except Exception as e:  # cost model absent on some backends
                 mfu_s = f"  (no cost analysis: {type(e).__name__})"
@@ -178,8 +191,10 @@ def main():
                     cost = cost[0]
                 flops = float(cost.get("flops", 0.0))
                 if flops > 0:
-                    mfu_s = (f"  {flops / 1e9:7.1f} GFLOP/step, "
-                             f"MFU {flops / (ms / 1e3) / peak * 100:5.2f}%")
+                    mfu_s = (f"  HLO {flops / 1e9:7.1f} GFLOP "
+                             f"HFU {flops / (ms / 1e3) / peak * 100:5.2f}%"
+                             f" | MFU "
+                             f"{a_flops / (ms / 1e3) / peak * 100:5.2f}%")
             except Exception as e:
                 mfu_s = f"  (no cost analysis: {type(e).__name__})"
             print(f"  sustained (scan-chained) bf16={int(bf16)} freeze+sg: "
