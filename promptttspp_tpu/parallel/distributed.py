@@ -75,6 +75,29 @@ def process_slice(n_rows: int, process_index: Optional[int] = None,
     return slice(p * per, (p + 1) * per)
 
 
+def mesh_process_slice(mesh: Mesh, n_rows: int) -> slice:
+    """The global batch rows this process must load, derived from the
+    MESH (not from process_count): the union of the P("data") row shards
+    its addressable devices hold. Standard pod layout (data axis across
+    hosts) reduces to ``process_slice``; when the data axis does NOT
+    span processes — e.g. GPipe's model axis placed across hosts with
+    data=1 — every process holds (a replica of) every shard and must
+    load the full batch."""
+    D = mesh.shape["data"]
+    if n_rows % D != 0:
+        raise ValueError(f"{n_rows} rows not divisible by data={D}")
+    per = n_rows // D
+    pid = jax.process_index()
+    devs = np.asarray(mesh.devices).reshape(D, -1)
+    mine = [d for d in range(D)
+            if any(x.process_index == pid for x in devs[d])]
+    lo, hi = min(mine), max(mine) + 1
+    assert mine == list(range(lo, hi)), (
+        "this process's data shards are non-contiguous; reorder the "
+        "mesh devices so each host's shards form a block")
+    return slice(lo * per, hi * per)
+
+
 def make_global_batch(local_batch: Dict, mesh: Mesh) -> Dict:
     """Assemble per-host rows into global data-sharded arrays
     (`jax.make_array_from_process_local_data`). Non-array leaves pass
@@ -108,14 +131,18 @@ def replicate_global(tree, mesh: Mesh):
 def host_batches(sampler, dataset, collator,
                  process_index: Optional[int] = None,
                  process_count: Optional[int] = None,
-                 prompt_pad_to: int = 64):
+                 prompt_pad_to: int = 64,
+                 mesh: Optional[Mesh] = None):
     """Per-host view of a global batch sampler.
 
     Every host walks the identical (seed-synchronized) sampler; for each
     global batch it computes the GLOBAL shape buckets from metadata —
     so the assembled global arrays agree across hosts — and yields
-    ``(local_indices, collate_kwargs)`` with this host's contiguous row
-    block. Requires the dataset to expose ``num_tokens(i)`` (frames) and
+    ``(local_indices, collate_kwargs)`` with this host's row block:
+    mesh-derived (``mesh_process_slice`` — correct for any axis
+    placement, incl. a model/pipeline axis spanning processes) when a
+    mesh is given, else the standard 1/process_count contiguous block.
+    Requires the dataset to expose ``num_tokens(i)`` (frames) and
     ``num_phones(i)``.
     """
     from promptttspp_tpu.data.batching import bucket_shape
@@ -135,6 +162,7 @@ def host_batches(sampler, dataset, collator,
         t_phones = bucket_shape(
             max(dataset.num_phones(i) for i in idx),
             collator.phone_quantum)
-        sl = process_slice(len(idx), process_index, n)
+        sl = (mesh_process_slice(mesh, len(idx)) if mesh is not None
+              else process_slice(len(idx), process_index, n))
         yield list(idx)[sl], dict(t_phones=t_phones, t_frames=t_frames,
                                   prompt_pad_to=prompt_pad_to)

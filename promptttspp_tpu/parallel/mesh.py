@@ -23,14 +23,31 @@ def make_mesh(
     data: Optional[int] = None,
     model: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
+    model_spans_processes: bool = False,
 ) -> Mesh:
-    """Build a (data, model) mesh. Defaults: all devices on the data axis."""
+    """Build a (data, model) mesh. Defaults: all devices on the data axis.
+
+    Axis placement: ``jax.devices()`` orders devices by process, so the
+    default reshape puts the DATA axis across processes and the model
+    axis within each host — the standard pod layout (gradients
+    all-reduce over DCN once per step; TP/PP collectives stay on ICI).
+    ``model_spans_processes=True`` transposes the fold so the MODEL axis
+    crosses process boundaries instead — the placement GPipe pipeline
+    parallelism exists for (each host holds its pipeline stage of a
+    denoiser too big for one host's devices; the stage-boundary
+    ``ppermute`` activations ride the inter-host link, which the
+    schedule overlaps with stage compute). Data shards are then
+    host-local replicas: every process loads the full global batch
+    (`distributed.mesh_process_slice` derives this from the mesh)."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
         data = n // model
     assert data * model == n, f"{data}x{model} != {n} devices"
-    arr = np.asarray(devices).reshape(data, model)
+    if model_spans_processes:
+        arr = np.asarray(devices).reshape(model, data).T
+    else:
+        arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 
 

@@ -83,20 +83,28 @@ def _place(leaf, sharding: NamedSharding):
     return jax.device_put(leaf, sharding)
 
 
-def shard_params(params, mesh: Mesh, replicate_under: Tuple[str, ...] = ()):
+def shard_params(params, mesh: Mesh, replicate_under: Tuple[str, ...] = (),
+                 tp: bool = True):
     """Place each leaf with its TP spec (replicated where P()).
 
     replicate_under: subtree names forced to replication regardless of
     their TP spec — e.g. ("denoise_fn",) when the decoder stack is
-    pipeline-partitioned instead (parallel/pp.py)."""
-    if jax.process_count() > 1:
+    pipeline-partitioned instead (parallel/pp.py).
+    tp=False replicates EVERY param — the placement when the mesh's
+    model axis exists only for pipeline parallelism and spans processes
+    (GPipe stage-partitions the decoder inside its shard_map; TP matmul
+    sharding would put weight collectives on the inter-host link every
+    layer, and `_place`'s host-identical-value assembly requires a
+    host-local model axis anyway)."""
+    if jax.process_count() > 1 and tp:
         assert model_axis_is_host_local(mesh), (
             "multi-host TP needs the model axis within a host "
-            "(data across hosts)")
+            "(data across hosts); for a cross-process model axis "
+            "(pipeline-only) pass tp=False")
 
     def place(path, leaf):
         names = tuple(str(getattr(k, "key", k)) for k in path)
-        if any(r in names for r in replicate_under):
+        if not tp or any(r in names for r in replicate_under):
             spec = P()
         else:
             spec = param_partition_spec(names, leaf)
@@ -105,12 +113,14 @@ def shard_params(params, mesh: Mesh, replicate_under: Tuple[str, ...] = ()):
     return jax.tree_util.tree_map_with_path(place, params)
 
 
-def shard_state(state, mesh: Mesh, replicate_under: Tuple[str, ...] = ()):
+def shard_state(state, mesh: Mesh, replicate_under: Tuple[str, ...] = (),
+                tp: bool = True):
     """Apply TP placement to params and matching placement to opt_state
     (zeros_like trees inherit via re-placement of same-shaped leaves).
     Works single- AND multi-process (see _place): with model axis 1 this
-    doubles as the multi-host state replicator."""
-    params = shard_params(state.params, mesh, replicate_under)
+    doubles as the multi-host state replicator; tp=False (see
+    shard_params) makes it the replicator for pipeline-only model axes."""
+    params = shard_params(state.params, mesh, replicate_under, tp=tp)
     replicated = NamedSharding(mesh, P())
     batch_stats = jax.tree.map(
         lambda x: _place(x, replicated), state.batch_stats)

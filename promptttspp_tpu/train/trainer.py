@@ -187,7 +187,16 @@ class TTSTrainer:
         self._setup_logging()
         self._build_datasets()
 
-        mesh = make_mesh(model=cfg.select("train.mesh.model", 1))
+        # train.mesh.model_spans_processes=true places the model axis
+        # ACROSS hosts (each host = pipeline stage(s); stage-boundary
+        # ppermute rides the inter-host link) instead of the standard
+        # pod layout (data across hosts, model within) — the placement
+        # GPipe exists for (parallel/pp.py). TP matmul sharding is
+        # disabled on such a mesh (see tp.shard_params).
+        model_spans = bool(cfg.select(
+            "train.mesh.model_spans_processes", False))
+        mesh = make_mesh(model=cfg.select("train.mesh.model", 1),
+                         model_spans_processes=model_spans)
         n_data = mesh.shape["data"]
         model = self._build_model()
 
@@ -246,7 +255,8 @@ class TTSTrainer:
             # of the TP matmul sharding (the two placements conflict)
             state = shard_state(
                 state, mesh,
-                replicate_under=("denoise_fn",) if pp_micro else ())
+                replicate_under=("denoise_fn",) if pp_micro else (),
+                tp=not model_spans)
 
         n_params = sum(x.size for x in jax.tree.leaves(state.params))
         self.logger.info(f"number of trainable params: {n_params / 1e6:.3f} M")
@@ -373,7 +383,18 @@ class TTSTrainer:
         num_workers = cfg.select("train.num_workers", 8)
         prefetch_depth = cfg.select("train.prefetch_depth", 3)
         n_proc = jax.process_count()
-        local_pad = n_data // n_proc  # rows this host pads to
+        # rows this host holds per global batch = its span of the data
+        # axis (mesh-derived: 1/n_proc in the standard pod layout, the
+        # FULL batch when the data axis does not cross processes — e.g.
+        # the GPipe model axis placed across hosts with data=1)
+        if n_proc > 1:
+            from promptttspp_tpu.parallel.distributed import (
+                mesh_process_slice)
+
+            sl = mesh_process_slice(mesh, n_data)
+            local_pad = max(1, sl.stop - sl.start)
+        else:
+            local_pad = n_data  # rows this host pads to
         with mesh:
             for epoch in range(start_epoch, num_epochs + 1):
                 # order is a pure function of (seed, epoch): resumed and
@@ -386,7 +407,8 @@ class TTSTrainer:
                     # per-host row blocks with global shape buckets
                     epoch_sampler = host_batches(
                         sampler, self.train_ds, collator,
-                        prompt_pad_to=cfg.select("train.prompt_pad_to", 64))
+                        prompt_pad_to=cfg.select("train.prompt_pad_to", 64),
+                        mesh=mesh)
                 else:
                     epoch_sampler = sampler
                 if pipeline == "prefetch":
@@ -455,7 +477,8 @@ class TTSTrainer:
                         vsampler = host_batches(
                             vsampler, self.valid_ds, collator,
                             prompt_pad_to=cfg.select(
-                                "train.prompt_pad_to", 64))
+                                "train.prompt_pad_to", 64),
+                            mesh=mesh)
                     for batch, sharded in self._sync_batches(
                             vsampler, collator, mesh, local_pad,
                             ds=self.valid_ds):

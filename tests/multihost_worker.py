@@ -17,7 +17,10 @@ mode, pid, nproc, port, outdir = (
     Path(sys.argv[5]))
 
 # modes: multi / single (pure DP), multi_tp / single_tp (data=2, model=2
-# mesh — multi_tp places the model axis within each host)
+# mesh — multi_tp places the model axis within each host), multi_pp /
+# single_pp (data=2, model=2 GPipe pipeline mesh — multi_pp places the
+# MODEL axis ACROSS the two processes, so the stage-boundary ppermute
+# crosses the inter-process link: the placement PP exists for)
 local_devices = 2 if mode.startswith("multi") else 4
 os.environ["XLA_FLAGS"] = (
     f"--xla_force_host_platform_device_count={local_devices}")
@@ -35,7 +38,7 @@ from promptttspp_tpu.config import Config  # noqa: E402
 from promptttspp_tpu.train.trainer import TTSTrainer  # noqa: E402
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
-from test_train import MEL, SyntheticDataset, tiny_model  # noqa: E402
+from test_train import C, MEL, SyntheticDataset, tiny_model  # noqa: E402
 
 
 class FixedPromptDataset(SyntheticDataset):
@@ -72,12 +75,19 @@ class OrdTokenizer:
 
 def main():
     out = outdir / mode
+    pp = mode.endswith("_pp")
+    mesh_cfg = {"model": 2 if (mode.endswith("_tp") or pp) else 1}
+    if pp:
+        mesh_cfg["pipeline_microbatches"] = 2
+        # the GPipe model axis spans the two processes (multi only):
+        # ppermute over the inter-process link
+        mesh_cfg["model_spans_processes"] = mode.startswith("multi")
     cfg = Config({
         "output_dir": str(out),
         "train": {"seed": 0, "num_epochs": 2, "save_interval": 100,
                   "lr_scheduler": {"warmup_steps": 10},
                   "prompt_pad_to": 16,
-                  "mesh": {"model": 2 if mode.endswith("_tp") else 1}},
+                  "mesh": mesh_cfg},
         "optimizer": {"lr": 1e-3, "betas": [0.9, 0.98], "weight_decay": 0.0},
         "dataset": {"dynamic_batch": True, "max_tokens": 400},
     })
@@ -87,9 +97,20 @@ def main():
             "num_processes": nproc,
             "process_id": pid,
         })
+    model = tiny_model()
+    if pp:
+        # GPipe needs stages whose size is a multiple of the dilation
+        # cycle: 4 layers -> 2 stages x 2 layers (cycle 2)
+        from promptttspp_tpu.models.diffusion import DiffNet
+
+        model = model.clone(decoder=model.decoder.clone(
+            denoise_fn=DiffNet(
+                in_dim=MEL, encoder_hidden_dim=C, residual_layers=4,
+                residual_channels=16, kernel_size=3,
+                dilation_cycle_length=2)))
     trainer = TTSTrainer(
         cfg, train_ds=FixedPromptDataset(16), valid_ds=FixedPromptDataset(8, 1),
-        tokenizer=OrdTokenizer(), model=tiny_model(), freeze_bert=False)
+        tokenizer=OrdTokenizer(), model=model, freeze_bert=False)
     state = trainer.run()
 
     leaves = jax.tree.leaves(state.params)

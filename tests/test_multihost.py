@@ -78,6 +78,37 @@ def test_two_process_training_matches_single(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_pipeline_parallel_training(tmp_path):
+    """Multi-host + GPipe PP composed ACROSS the process boundary
+    (VERDICT r4 #4): data=2 x model=2 mesh with the MODEL (pipeline)
+    axis spanning the two processes — the decoder's stage-boundary
+    `lax.ppermute` crosses the inter-process link, the placement PP
+    exists for (parallel/pp.py: denoisers past one host's memory).
+    Each process loads the FULL global batch (data shards are
+    host-local replicas; distributed.mesh_process_slice derives this
+    from the mesh). Numerically equals the single-process
+    (data=2, model=2, 2-microbatch GPipe) run."""
+    port = _free_port()
+    procs = [_run_worker("multi_pp", p, 2, port, tmp_path)
+             for p in range(2)]
+    outs = [p.communicate(timeout=560)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"multi_pp worker failed:\n{out[-3000:]}"
+
+    single = _run_worker("single_pp", 0, 1, 0, tmp_path)
+    out_s = single.communicate(timeout=560)[0]
+    assert single.returncode == 0, f"single_pp worker failed:\n{out_s[-3000:]}"
+
+    r0 = json.loads((tmp_path / "result-multi_pp-0.json").read_text())
+    r1 = json.loads((tmp_path / "result-multi_pp-1.json").read_text())
+    rs = json.loads((tmp_path / "result-single_pp-0.json").read_text())
+    assert r0["process_count"] == 2 and r0["global_devices"] == 4
+    assert r0["checksum"] == pytest.approx(r1["checksum"], rel=1e-12)
+    assert r0["checksum"] == pytest.approx(rs["checksum"], rel=1e-6)
+    assert r0["step"] == rs["step"] > 0
+
+
+@pytest.mark.slow
 def test_two_process_tensor_parallel_training(tmp_path):
     """Multi-host + TP combined: data axis across the 2 processes, model
     axis within each host (parallel/tp.py multi-process placement via
