@@ -61,15 +61,35 @@ def build_synthesizer(cfg):
         mel_stats = yaml.safe_load(f)
     tokenizer = WordPieceTokenizer.from_vocab_file(cfg.path.bert_vocab_file)
     # multi-chip serving knobs, same surface as synthesize.py:
-    # `+vocoder_mode=sharded +frame_sharded_decode=true`
-    return Synthesizer(model, variables, vocoder, voc_vars,
-                       mel_stats=mel_stats, tokenizer=tokenizer,
-                       to_mel=to_mel,
-                       vocoder_mode=cfg.get("vocoder_mode", "batched"),
-                       frame_sharded_decode=cfg.get(
-                           "frame_sharded_decode", False),
-                       decode_param_dtype=cfg.get(
-                           "decode_param_dtype", None))
+    # `+vocoder_mode=sharded +frame_sharded_decode=true`; latency knobs:
+    # `+speculative=true` (one-dispatch requests) with an optional
+    # per-phone duration table `+spec_duration_table=<npz>` (from
+    # scripts/make_spec_duration_table.py — docs/SERVING.md)
+    spec_kw = {}
+    tbl = cfg.get("spec_duration_table")
+    if tbl:
+        t = np.load(tbl)
+        spec_kw = dict(spec_duration_table=t["mean"],
+                       spec_duration_std=t["std"])
+    synth = Synthesizer(model, variables, vocoder, voc_vars,
+                        mel_stats=mel_stats, tokenizer=tokenizer,
+                        to_mel=to_mel,
+                        vocoder_mode=cfg.get("vocoder_mode", "batched"),
+                        frame_sharded_decode=cfg.get(
+                            "frame_sharded_decode", False),
+                        decode_param_dtype=cfg.get(
+                            "decode_param_dtype", None),
+                        speculative=cfg.get("speculative", False),
+                        **spec_kw)
+    if cfg.get("prewarm"):
+        # compile the serving program grid before the first user request
+        # (pair with JAX_COMPILATION_CACHE_DIR / prewarm_serving.py so
+        # restarts deserialize instead — BENCHMARKS.md §Serving cold
+        # start)
+        synth.prewarm(grid=cfg.get("prewarm_grid", "speculative"),
+                      max_phones=int(cfg.get("prewarm_max_phones", 208)),
+                      log=lambda m: print(m, file=sys.stderr, flush=True))
+    return synth
 
 
 def load_wav_24k(path):

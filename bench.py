@@ -140,7 +140,8 @@ def main():
     args = ap.parse_args()
 
     from promptttspp_tpu.flagship import (
-        build_flagship_model, build_vocoder, example_batch, init_flagship)
+        build_flagship_model, build_vocoder, example_batch, init_flagship,
+        init_vocoder)
     from promptttspp_tpu.infer import Synthesizer
 
     from promptttspp_tpu.data.batching import bucket_shape
@@ -166,9 +167,7 @@ def main():
     variables = bias_duration_head(variables, args.head_fpp)
 
     vocoder = build_vocoder("bigvgan_f0")
-    voc_vars = vocoder.init(
-        jax.random.PRNGKey(1), jnp.zeros((B, FRAMES, 80), jnp.float32),
-        jnp.zeros((B, FRAMES, 1), jnp.float32), deterministic=True)
+    voc_vars = init_vocoder(vocoder, B=B, frames=FRAMES)
 
     synth = Synthesizer(
         model, variables, vocoder=vocoder, vocoder_variables=voc_vars,

@@ -30,15 +30,13 @@ def main():
     SR, HOP = 24000, 240
     from promptttspp_tpu.flagship import (build_flagship_model,
                                           build_vocoder, example_batch,
-                                          init_flagship)
+                                          init_flagship, init_vocoder)
 
     model = build_flagship_model()
     batch = example_batch(B=B, Tp=64, Tf=frames, L=32)
     variables = init_flagship(model, batch)
     vocoder = build_vocoder("bigvgan_f0")
-    voc_vars = vocoder.init(
-        jax.random.PRNGKey(1), jnp.zeros((B, frames, 80), jnp.float32),
-        jnp.zeros((B, frames, 1), jnp.float32), deterministic=True)
+    voc_vars = init_vocoder(vocoder, B=B, frames=frames)
 
     @jax.jit
     def text2wav(variables, voc_vars, phoneme, plens, pids, pmask):

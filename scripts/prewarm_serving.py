@@ -48,7 +48,8 @@ def build_selftest_synth(args):
     import jax.numpy as jnp
 
     from promptttspp_tpu.flagship import (
-        build_flagship_model, build_vocoder, example_batch, init_flagship)
+        build_flagship_model, build_vocoder, example_batch, init_flagship,
+        init_vocoder)
     from promptttspp_tpu.infer import Synthesizer
 
     sys.path.insert(0, str(REPO))
@@ -59,9 +60,7 @@ def build_selftest_synth(args):
     variables = init_flagship(model, example_batch(B=B, Tp=64, Tf=640,
                                                    L=32))
     vocoder = build_vocoder("bigvgan_f0")
-    voc_vars = vocoder.init(
-        jax.random.PRNGKey(1), jnp.zeros((B, 640, 80), jnp.float32),
-        jnp.zeros((B, 640, 1), jnp.float32), deterministic=True)
+    voc_vars = init_vocoder(vocoder, B=B, frames=640)
     return Synthesizer(
         model, variables, vocoder=vocoder, vocoder_variables=voc_vars,
         mel_stats={"mean": 0.0, "std": 1.0}, tokenizer=FixedTokenizer(),

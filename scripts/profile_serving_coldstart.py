@@ -20,6 +20,15 @@ deployment serving typical utterances touches ~6-10; with the
 persistent cache the per-bucket warm cost is a deserialize, so
 pre-warming the grid at deploy time is cheap and first-user latency
 never includes an XLA compile.
+
+Tunnel caveat (measured round 5, documented in BENCHMARKS.md): on this
+image's tunneled backend the persistent cache DOES hit (verified via
+jax._src.compiler debug logs: 'Persistent compilation cache hit for
+jit__full_pass', 32 MB executable) but the FIRST EXECUTION of a
+deserialized program pays ~200 s of server-side loading that a normal
+PJRT TPU client does not (deserialize there is an in-process
+executable load). So warm-vs-cold savings here understate what a
+TPU-VM deployment gets from scripts/prewarm_serving.py.
 """
 
 import argparse
@@ -36,6 +45,7 @@ sys.path.insert(0, str(REPO))
 
 WORKER = """
 import json, os, sys, time
+t_start = time.perf_counter()
 sys.path.insert(0, {repo!r})
 cache_dir = os.environ.get("GRAFT_JAX_CACHE", "")
 import jax
@@ -46,7 +56,8 @@ if cache_dir:
 import jax.numpy as jnp
 import numpy as np
 from promptttspp_tpu.flagship import (
-    build_flagship_model, build_vocoder, example_batch, init_flagship)
+    build_flagship_model, build_vocoder, example_batch, init_flagship,
+    init_vocoder)
 from promptttspp_tpu.infer import Synthesizer
 from bench import FixedTokenizer, bias_duration_head
 
@@ -57,10 +68,7 @@ variables = init_flagship(model, example_batch(B=1, Tp=phones,
                                                Tf=frames, L=32))
 variables = bias_duration_head(variables, 10.0)
 vocoder = build_vocoder("bigvgan_f0")
-voc_vars = vocoder.init(jax.random.PRNGKey(1),
-                        jnp.zeros((1, frames, 80), jnp.float32),
-                        jnp.zeros((1, frames, 1), jnp.float32),
-                        deterministic=True)
+voc_vars = init_vocoder(vocoder, B=1, frames=frames)
 synth = Synthesizer(model, variables, vocoder=vocoder,
                     vocoder_variables=voc_vars,
                     mel_stats={{"mean": 0.0, "std": 1.0}},
@@ -68,6 +76,7 @@ synth = Synthesizer(model, variables, vocoder=vocoder,
                     phone_quantum=16, frame_quantum=128,
                     max_frames_cap=2048, speculative=True,
                     spec_frames_per_phone=10.0)
+setup_s = time.perf_counter() - t_start  # imports + jitted inits
 rng = np.random.RandomState(3)
 seqs = [list(rng.randint(1, 90, phones))]
 t0 = time.perf_counter()
@@ -81,6 +90,7 @@ for i in range(3):
                      noise_scale=0.0, seed=1 + i)
     hots.append(time.perf_counter() - t0)
 print(json.dumps({{"first_s": first_s, "hot_s": sorted(hots)[1],
+                   "setup_s": setup_s,
                    "audio_s": len(wavs[0]) / 24000}}))
 """
 
@@ -99,6 +109,10 @@ def run_worker(frames, cache_dir):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--buckets", type=int, nargs="+", default=[640, 1280])
+    ap.add_argument("--nocache", action="store_true",
+                    help="also measure a no-persistent-cache fresh "
+                    "process (~= cold minus the cache write; another "
+                    "full compile per bucket)")
     args = ap.parse_args()
 
     rows = []
@@ -110,18 +124,22 @@ def main():
             t0 = time.perf_counter()
             warm = run_worker(frames, cache)        # fresh process, cache hit
             warm_wall = time.perf_counter() - t0
-        nocache = run_worker(frames, None)
         rows.append(dict(
             frames=frames,
             cold_first_request_s=round(cold["first_s"], 2),
             warm_persisted_first_request_s=round(warm["first_s"], 2),
-            nocache_first_request_s=round(nocache["first_s"], 2),
             hot_request_s=round(warm["hot_s"], 4),
             audio_s=warm["audio_s"],
+            cold_setup_s=round(cold["setup_s"], 1),
+            warm_setup_s=round(warm["setup_s"], 1),
             cold_process_wall_s=round(cold_wall, 1),
             warm_process_wall_s=round(warm_wall, 1),
         ))
-        print(json.dumps(rows[-1]))
+        if args.nocache:
+            nocache = run_worker(frames, None)
+            rows[-1]["nocache_first_request_s"] = round(
+                nocache["first_s"], 2)
+        print(json.dumps(rows[-1]), flush=True)
     print(json.dumps({"metric": "serving_coldstart", "rows": rows}))
 
 
