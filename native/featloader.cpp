@@ -67,8 +67,9 @@ NpyArray read_npy(const char* path) {
     std::fclose(f);
     return out;
   }
-  if (header.find("'fortran_order': False") == std::string::npos) {
-    out.err = "fortran order unsupported";
+  bool fortran = header.find("'fortran_order': True") != std::string::npos;
+  if (!fortran && header.find("'fortran_order': False") == std::string::npos) {
+    out.err = "cannot parse fortran_order";
     std::fclose(f);
     return out;
   }
@@ -111,6 +112,21 @@ NpyArray read_npy(const char* path) {
     return out;
   }
   std::fclose(f);
+  // Fortran (column-major) payloads: convert to the row-major layout the
+  // rest of the loader assumes. Rank-1 arrays are identical either way;
+  // rank-2 gets an explicit transpose (np.save writes mel.T of a C-order
+  // [T, 80] array as an F-order [80, T] without copying — common in real
+  // corpora). Higher ranks never occur in the feature files.
+  if (fortran && out.shape.size() == 2) {
+    const int64_t R = out.shape[0], C = out.shape[1];
+    std::vector<float> cmaj(total);
+    for (int64_t c = 0; c < C; c++)
+      for (int64_t r = 0; r < R; r++) cmaj[r * C + c] = out.data[c * R + r];
+    out.data.swap(cmaj);
+  } else if (fortran && out.shape.size() > 2) {
+    out.err = "fortran order unsupported for rank > 2";
+    return out;
+  }
   out.ok = true;
   return out;
 }

@@ -73,3 +73,27 @@ def test_native_float64_and_errors(built, tmp_path):
         built.load_feature_batch(
             [tmp_path / "missing.npy"], [tmp_path / "cf0.npy"],
             [tmp_path / "vuv.npy"], 16, 0.0, 1.0)
+
+
+def test_native_fortran_order(built, tmp_path):
+    """np.save of a transposed array writes F-order without copying
+    (e.g. mel.T of a C-order [T, 80] frame-major array) — the loader
+    must read it identically to the C-order equivalent."""
+    rng = np.random.RandomState(7)
+    T = 23
+    mel_tc = rng.randn(T, 80).astype(np.float32) - 4.0   # C-order [T, 80]
+    mel_f = mel_tc.T                                     # F-order [80, T]
+    assert mel_f.flags["F_CONTIGUOUS"] and not mel_f.flags["C_CONTIGUOUS"]
+    np.save(tmp_path / "mel_f.npy", mel_f)
+    np.save(tmp_path / "mel_c.npy", np.ascontiguousarray(mel_f))
+    cf0 = rng.rand(1, T).astype(np.float32)
+    np.save(tmp_path / "cf0.npy", cf0)
+    np.save(tmp_path / "vuv.npy", (cf0 > 0.5).astype(np.float32))
+
+    outs = [built.load_feature_batch(
+        [tmp_path / name], [tmp_path / "cf0.npy"], [tmp_path / "vuv.npy"],
+        32, -4.0, 2.0) for name in ("mel_f.npy", "mel_c.npy")]
+    np.testing.assert_array_equal(outs[0]["mel"], outs[1]["mel"])
+    np.testing.assert_array_equal(outs[0]["energy"], outs[1]["energy"])
+    np.testing.assert_allclose(outs[0]["mel"][0, :T],
+                               (mel_tc + 4.0) / 2.0, rtol=1e-5, atol=1e-5)
