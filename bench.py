@@ -332,6 +332,8 @@ def main():
             "metric": "ttfa", "ttfa_ms": round(ttfa * 1e3, 1),
             "first_chunk_audio_s": round(pairs[0][1], 3),
             "chunk_frames": synth.chunk_frames,
+            "first_chunk_frames": synth.first_chunk_frames
+                                  or synth.chunk_frames,
             "note": "time from request to the first audible chunk "
                     "(streaming serve; full request still completes at "
                     "text2wav_rtf)",
