@@ -215,6 +215,10 @@ def main():
     ap.add_argument("--root", default=None,
                     help="corpus/work dir (default: temp)")
     ap.add_argument("--num-eval", type=int, default=12)
+    ap.add_argument("--extend", action="store_true",
+                    help="skip phase 1: resume from --root's existing "
+                    "ckpt/last and train on to --epochs, then re-eval "
+                    "(loss.csv appends across phases)")
     args = ap.parse_args()
 
     import tempfile
@@ -262,10 +266,11 @@ def main():
                           model=build_small_model(), freeze_bert=False)
 
     t0 = time.time()
-    make_trainer(args.resume_at).run()
-    mid_s = time.time() - t0
-    print(f"phase 1 ({args.resume_at} epochs): {mid_s:.0f}s",
-          file=sys.stderr, flush=True)
+    if not args.extend:
+        make_trainer(args.resume_at).run()
+        mid_s = time.time() - t0
+        print(f"phase 1 ({args.resume_at} epochs): {mid_s:.0f}s",
+              file=sys.stderr, flush=True)
     trainer = make_trainer(args.epochs, resume=True)  # resume mid-run
     state = trainer.run()
     train_s = time.time() - t0
