@@ -80,6 +80,8 @@ def build_synthesizer(cfg):
                         decode_param_dtype=cfg.get(
                             "decode_param_dtype", None),
                         speculative=cfg.get("speculative", False),
+                        spec_margin=cfg.get("spec_margin", 3.0),
+                        spec_rate_margin=cfg.get("spec_rate_margin", 0.2),
                         **spec_kw)
     if cfg.get("prewarm"):
         # compile the serving program grid before the first user request

@@ -79,7 +79,17 @@ def build_synthesizer(cfg):
     tokenizer = WordPieceTokenizer.from_vocab_file(cfg.path.bert_vocab_file)
 
     # multi-chip serving knobs (parallel/sp.py, vocoders/streaming.py):
-    # e.g. `+vocoder_mode=sharded +frame_sharded_decode=true`
+    # e.g. `+vocoder_mode=sharded +frame_sharded_decode=true`; latency
+    # knobs (same surface as app.py, so prewarm_serving.py warms the
+    # grid the deployment will actually dispatch): `+speculative=true`,
+    # `+spec_duration_table=<npz>` (scripts/make_spec_duration_table.py),
+    # `+spec_margin=3 +spec_rate_margin=0.2`
+    spec_kw = {}
+    tbl = cfg.get("spec_duration_table")
+    if tbl:
+        t = np.load(tbl)
+        spec_kw = dict(spec_duration_table=t["mean"],
+                       spec_duration_std=t["std"])
     return Synthesizer(model, variables, vocoder, voc_vars,
                        mel_stats=mel_stats, tokenizer=tokenizer,
                        to_mel=to_mel,
@@ -87,7 +97,11 @@ def build_synthesizer(cfg):
                        frame_sharded_decode=cfg.get(
                            "frame_sharded_decode", False),
                        decode_param_dtype=cfg.get(
-                           "decode_param_dtype", None))
+                           "decode_param_dtype", None),
+                       speculative=cfg.get("speculative", False),
+                       spec_margin=cfg.get("spec_margin", 3.0),
+                       spec_rate_margin=cfg.get("spec_rate_margin", 0.2),
+                       **spec_kw)
 
 
 def load_reference_mel(synth, cfg, spk, utt):

@@ -28,7 +28,8 @@ import numpy as np
 
 from promptttspp_tpu.data import native_loader
 from promptttspp_tpu.data.batching import bucket_shape
-from promptttspp_tpu.parallel.mesh import pad_batch_to_multiple, shard_batch
+from promptttspp_tpu.parallel.mesh import (pad_batch_to_multiple,
+                                           pad_batch_to_rows, shard_batch)
 
 
 def _collate_native(metas: List[Dict], collator, stats: Dict,
@@ -127,19 +128,24 @@ def prefetch_batches(
             return batch
         return {k: batch[k] for k in model_keys if k in batch}
 
-    def assemble_meta(metas, kwargs):
+    def assemble_meta(metas, kwargs, pad_rows_to, zero_weight):
         if use_native:
             batch = _collate_native(metas, collator, dataset.stats, **kwargs)
         else:
             batch = collator([dataset.load_item_features(m) for m in metas],
                              **kwargs)
-        return finish(batch)
+        return finish(batch, pad_rows_to, zero_weight)
 
-    def assemble_items(items, kwargs):
-        return finish(collator(items, **kwargs))
+    def assemble_items(items, kwargs, pad_rows_to, zero_weight):
+        return finish(collator(items, **kwargs), pad_rows_to, zero_weight)
 
-    def finish(batch):
-        batch = pad_batch_to_multiple(batch, pad_multiple)
+    def finish(batch, pad_rows_to=None, zero_weight=False):
+        if pad_rows_to is not None:
+            batch = pad_batch_to_rows(batch, pad_rows_to)
+        else:
+            batch = pad_batch_to_multiple(batch, pad_multiple)
+        if zero_weight:  # host slab entirely in the global pad region
+            batch["batch_weight"] = np.zeros_like(batch["batch_weight"])
         device = select(batch)
         if mesh is not None:
             device = shard_batch(device, mesh)
@@ -158,19 +164,23 @@ def prefetch_batches(
                 # sampler entries: List[int], or (List[int], collate
                 # kwargs) from parallel/distributed.py host_batches
                 if isinstance(entry, tuple):
-                    idx_batch, kwargs = entry
+                    idx_batch, kwargs = entry[0], dict(entry[1])
                 else:
                     idx_batch, kwargs = entry, {}
+                pad_rows_to = kwargs.pop("_pad_rows_to", None)
+                zero_weight = kwargs.pop("_zero_weight", False)
                 if has_meta:
                     # serial: keeps the prompt-RNG draw order identical
                     # to the synchronous loop
                     work = pool.submit(
                         assemble_meta,
-                        [dataset.item_meta(i) for i in idx_batch], kwargs)
+                        [dataset.item_meta(i) for i in idx_batch], kwargs,
+                        pad_rows_to, zero_weight)
                 else:
                     work = pool.submit(
                         assemble_items,
-                        [dataset[i] for i in idx_batch], kwargs)
+                        [dataset[i] for i in idx_batch], kwargs,
+                        pad_rows_to, zero_weight)
                 while not stop.is_set():
                     try:
                         q.put(work, timeout=0.1)

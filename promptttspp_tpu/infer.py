@@ -403,8 +403,12 @@ class Synthesizer:
             mean_fpp = float(t[t > 0].mean()) if (t > 0).any() else 10.0
             mean_var = float((s[t > 0] ** 2).mean()) if (t > 0).any() else 0.0
         pairs = []
-        p = pq
-        while True:
+        # every admissible phone bucket up to max_phones (once predicted
+        # frames hit max_frames_cap the per-bucket frame set collapses to
+        # ~{cap}, so larger buckets stay cheap — do NOT stop early: a
+        # request with more phones still dispatches ITS phone bucket and
+        # must find it compiled)
+        for p in range(pq, bucket_shape(max_phones, pq) + 1, pq):
             frames = set()
             for l in range(p - pq + 1, p + 1):
                 if self.spec_duration_table is not None:
@@ -421,10 +425,6 @@ class Synthesizer:
                     frames.add(max(fq, fb - fq))
                     frames.add(min(self.max_frames_cap, fb + fq))
             pairs.extend((p, f) for f in sorted(frames))
-            if p >= bucket_shape(max_phones, pq) or \
-                    max(frames) >= self.max_frames_cap:
-                break
-            p += pq
         return pairs
 
     def prewarm(self, batch_sizes=(1,), prompt_lens=(32,),
@@ -466,6 +466,7 @@ class Synthesizer:
                 pids = np.ones((B, L), np.int32)
                 pmask = np.ones((B, L), np.int32)
                 k1, k2 = _host_prng_key(0), _host_prng_key(1)
+                dur_warmed = set()
                 for p, f in pairs:
                     phoneme = np.ones((B, p), np.int32)
                     plens = np.full((B,), p, np.int32)
@@ -475,11 +476,15 @@ class Synthesizer:
                         plens, pids, pmask, None, None, use_max,
                         noise_scale, k1, k2, max_frames=f)
                     jax.device_get(out[2])  # force the compile+run
-                    # the duration pre-pass for this phone bucket (the
-                    # two-phase and mispredict-verification sibling)
-                    jax.device_get(self._dur_fn(
-                        self.variables, phoneme, plens, pids, pmask,
-                        None, None, use_max, k1))
+                    if p not in dur_warmed:
+                        # the duration pre-pass for this phone bucket
+                        # (the two-phase and mispredict-verification
+                        # sibling) — frame-bucket independent, so once
+                        # per phone bucket
+                        dur_warmed.add(p)
+                        jax.device_get(self._dur_fn(
+                            self.variables, phoneme, plens, pids, pmask,
+                            None, None, use_max, k1))
                     dt = _time.perf_counter() - t0
                     rows.append(dict(B=B, Tp=p, Tf=f, L=L,
                                      seconds=round(dt, 2)))
@@ -499,8 +504,18 @@ class Synthesizer:
         phone count."""
         if self.spec_duration_table is not None:
             ids = np.asarray(phoneme)
-            mean = self.spec_duration_table[ids].sum(axis=1)
-            var = (self.spec_duration_std[ids] ** 2).sum(axis=1)
+            n = len(self.spec_duration_table)
+            # ids outside the table (custom inventory / stale table):
+            # fall back to the flat per-phone upper bound for those
+            # positions instead of crashing the request
+            known = ids < n
+            safe = np.where(known, ids, 0)
+            mean = np.where(known & (ids > 0),
+                            self.spec_duration_table[safe],
+                            np.where(ids > 0, self.spec_frames_per_phone,
+                                     0.0)).sum(axis=1)
+            var = np.where(known, self.spec_duration_std[safe] ** 2,
+                           0.0).sum(axis=1)
             frames = float(np.max(
                 mean * (1.0 + self.spec_rate_margin)
                 + self.spec_margin * np.sqrt(var)))

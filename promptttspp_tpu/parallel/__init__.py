@@ -9,6 +9,7 @@ from promptttspp_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
     pad_batch_to_multiple,
+    pad_batch_to_rows,
     replicate_sharding,
     shard_batch,
 )
@@ -30,6 +31,7 @@ __all__ = [
     "make_global_batch",
     "make_mesh",
     "pad_batch_to_multiple",
+    "pad_batch_to_rows",
     "param_partition_spec",
     "process_slice",
     "replicate_global",

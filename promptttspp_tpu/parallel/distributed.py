@@ -75,18 +75,28 @@ def process_slice(n_rows: int, process_index: Optional[int] = None,
     return slice(p * per, (p + 1) * per)
 
 
-def mesh_process_slice(mesh: Mesh, n_rows: int) -> slice:
-    """The global batch rows this process must load, derived from the
-    MESH (not from process_count): the union of the P("data") row shards
-    its addressable devices hold. Standard pod layout (data axis across
-    hosts) reduces to ``process_slice``; when the data axis does NOT
-    span processes — e.g. GPipe's model axis placed across hosts with
-    data=1 — every process holds (a replica of) every shard and must
-    load the full batch."""
+def mesh_process_rows(mesh: Mesh, n_rows: int):
+    """``(real_slice, slab_rows)`` for this process's share of a global
+    batch of ``n_rows``, derived from the MESH (not from process_count):
+    the union of the P("data") row shards its addressable devices hold.
+
+    A global batch not divisible by the data-axis size is conceptually
+    padded up to ``ceil(n/D)*D`` zero-weight rows (matching the
+    single-process ``pad_batch_to_multiple`` semantics — the reference
+    instead DROPS non-divisible dynamic batches, `tts.py:138-142`):
+    ``real_slice`` is this host's span of REAL rows (possibly empty for
+    a host whose slab is entirely padding) and ``slab_rows`` is the
+    exact row count it must supply after local zero-weight padding, so
+    every host's shard shapes agree in
+    ``jax.make_array_from_process_local_data``.
+
+    Standard pod layout (data axis across hosts) reduces to
+    ``process_slice``; when the data axis does NOT span processes —
+    e.g. GPipe's model axis placed across hosts with data=1 — every
+    process holds (a replica of) every shard and must load the full
+    batch."""
     D = mesh.shape["data"]
-    if n_rows % D != 0:
-        raise ValueError(f"{n_rows} rows not divisible by data={D}")
-    per = n_rows // D
+    per = -(-n_rows // D)  # rows per shard after global padding
     pid = jax.process_index()
     devs = np.asarray(mesh.devices).reshape(D, -1)
     mine = [d for d in range(D)
@@ -95,7 +105,14 @@ def mesh_process_slice(mesh: Mesh, n_rows: int) -> slice:
     assert mine == list(range(lo, hi)), (
         "this process's data shards are non-contiguous; reorder the "
         "mesh devices so each host's shards form a block")
-    return slice(lo * per, hi * per)
+    return (slice(min(lo * per, n_rows), min(hi * per, n_rows)),
+            (hi - lo) * per)
+
+
+def mesh_process_slice(mesh: Mesh, n_rows: int) -> slice:
+    """This process's span of REAL global batch rows (see
+    ``mesh_process_rows``)."""
+    return mesh_process_rows(mesh, n_rows)[0]
 
 
 def make_global_batch(local_batch: Dict, mesh: Mesh) -> Dict:
@@ -162,7 +179,19 @@ def host_batches(sampler, dataset, collator,
         t_phones = bucket_shape(
             max(dataset.num_phones(i) for i in idx),
             collator.phone_quantum)
-        sl = (mesh_process_slice(mesh, len(idx)) if mesh is not None
-              else process_slice(len(idx), process_index, n))
-        yield list(idx)[sl], dict(t_phones=t_phones, t_frames=t_frames,
-                                  prompt_pad_to=prompt_pad_to)
+        kwargs = dict(t_phones=t_phones, t_frames=t_frames,
+                      prompt_pad_to=prompt_pad_to)
+        if mesh is not None:
+            sl, slab = mesh_process_rows(mesh, len(idx))
+            local = list(idx)[sl]
+            # reserved keys the batch assemblers pop (not collator args):
+            # exact local row target, and the all-padding marker for a
+            # host whose slab lies entirely in the global pad region (it
+            # borrows one real row for shape inference, zero-weighted)
+            kwargs["_pad_rows_to"] = slab
+            if not local:
+                local = [idx[0]]
+                kwargs["_zero_weight"] = True
+        else:
+            local = list(idx)[process_slice(len(idx), process_index, n)]
+        yield local, kwargs

@@ -84,8 +84,8 @@ def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
     return out
 
 
-def pad_batch_to_multiple(batch: Dict, multiple: int) -> Dict:
-    """Pad the batch's leading axis to a device-count multiple.
+def pad_batch_to_rows(batch: Dict, rows: int) -> Dict:
+    """Pad the batch's leading axis to exactly ``rows``.
 
     Padded rows keep 1-frame/1-phone lengths so every mask stays valid
     (an all-invalid row would put -inf rows into the MDN logsumexp and
@@ -94,7 +94,8 @@ def pad_batch_to_multiple(batch: Dict, multiple: int) -> Dict:
     loss is invariant to padding (tests/test_padding.py). The weight key
     is always present so the jitted step keeps one signature."""
     b = len(batch["phone_lengths"])
-    pad = (-b) % multiple
+    assert rows >= b, f"cannot pad {b} rows down to {rows}"
+    pad = rows - b
     weight = batch.get("batch_weight", np.ones((b,), np.float32))
     if pad == 0:
         out = dict(batch)
@@ -113,3 +114,10 @@ def pad_batch_to_multiple(batch: Dict, multiple: int) -> Dict:
     out["batch_weight"] = np.concatenate(
         [weight, np.zeros((pad,), np.float32)])
     return out
+
+
+def pad_batch_to_multiple(batch: Dict, multiple: int) -> Dict:
+    """Pad the batch's leading axis to a device-count multiple
+    (see ``pad_batch_to_rows`` for the zero-weight pad-row semantics)."""
+    b = len(batch["phone_lengths"])
+    return pad_batch_to_rows(batch, b + (-b) % multiple)

@@ -31,7 +31,7 @@ from promptttspp_tpu.data.prefetch import prefetch_batches
 from promptttspp_tpu.parallel.distributed import (
     host_batches, init_distributed)
 from promptttspp_tpu.parallel.mesh import (
-    make_mesh, pad_batch_to_multiple, shard_batch)
+    make_mesh, pad_batch_to_multiple, pad_batch_to_rows, shard_batch)
 from promptttspp_tpu.train import checkpoint as ckpt_lib
 from promptttspp_tpu.train.state import (
     bert_freeze_mask, create_train_state, freeze_opt_state,
@@ -340,15 +340,22 @@ class TTSTrainer:
             from promptttspp_tpu.data.prefetch import _collate_native
         for entry in sampler:
             if isinstance(entry, tuple):
-                idx_batch, kwargs = entry
+                idx_batch, kwargs = entry[0], dict(entry[1])
             else:
                 idx_batch, kwargs = entry, {}
+            pad_rows_to = kwargs.pop("_pad_rows_to", None)
+            zero_weight = kwargs.pop("_zero_weight", False)
             if native:
                 metas = [ds.item_meta(i) for i in idx_batch]
                 batch = _collate_native(metas, collator, ds.stats, **kwargs)
             else:
                 batch = collator([ds[i] for i in idx_batch], **kwargs)
-            batch = pad_batch_to_multiple(batch, n_data)
+            if pad_rows_to is not None:
+                batch = pad_batch_to_rows(batch, pad_rows_to)
+            else:
+                batch = pad_batch_to_multiple(batch, n_data)
+            if zero_weight:  # slab entirely in the global pad region
+                batch["batch_weight"] = np.zeros_like(batch["batch_weight"])
             yield batch, shard_batch(model_batch(batch), mesh)
 
     def _train_loop(self, state, sampler, collator, mesh, n_data,

@@ -23,7 +23,7 @@ utterances (phone counts 8..160):
     decode+vocoder compute factor the speculative dispatch wastes vs a
     perfect oracle bucket (device cost scales ~linearly in bucket
     frames; the on-chip measurement of that linearity is in
-    BENCHMARKS.md via bench.py --head-frames-per-phone)
+    BENCHMARKS.md via bench.py --head-fpp)
   - p50/p99 slack frames
 
 Policies: flat frames-per-phone bound (fpp in 6..12, the shipped

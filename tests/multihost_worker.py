@@ -76,20 +76,27 @@ class OrdTokenizer:
 def main():
     out = outdir / mode
     pp = mode.endswith("_pp")
+    # _rag: fixed-size batches of 3 over 16 items -> a 1-row tail batch
+    # on a data=4 mesh; exercises the zero-weight global batch padding
+    # (mesh_process_rows) incl. a host whose slab is entirely padding
+    ragged = mode.endswith("_rag")
     mesh_cfg = {"model": 2 if (mode.endswith("_tp") or pp) else 1}
     if pp:
         mesh_cfg["pipeline_microbatches"] = 2
         # the GPipe model axis spans the two processes (multi only):
         # ppermute over the inter-process link
         mesh_cfg["model_spans_processes"] = mode.startswith("multi")
+    train_cfg = {"seed": 0, "num_epochs": 2, "save_interval": 100,
+                 "lr_scheduler": {"warmup_steps": 10},
+                 "prompt_pad_to": 16,
+                 "mesh": mesh_cfg}
+    if ragged:
+        train_cfg["batch_size"] = 3
     cfg = Config({
         "output_dir": str(out),
-        "train": {"seed": 0, "num_epochs": 2, "save_interval": 100,
-                  "lr_scheduler": {"warmup_steps": 10},
-                  "prompt_pad_to": 16,
-                  "mesh": mesh_cfg},
+        "train": train_cfg,
         "optimizer": {"lr": 1e-3, "betas": [0.9, 0.98], "weight_decay": 0.0},
-        "dataset": {"dynamic_batch": True, "max_tokens": 400},
+        "dataset": {"dynamic_batch": not ragged, "max_tokens": 400},
     })
     if mode.startswith("multi"):
         cfg.train.distributed = Config({

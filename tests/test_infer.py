@@ -549,3 +549,40 @@ def test_prewarm_compiles_program_grid(tiny):
     seqs = [list(ds[i]["phonemes"]) for i in range(2)]
     wavs, _ = spec.synthesize(seqs, prompts=["a", "b"], seed=2)
     assert len(wavs) == 2 and all(np.isfinite(w).all() for w in wavs)
+
+
+class _GridStub:
+    """Host-side Synthesizer surface for the pure-python bucket logic."""
+
+    phone_quantum, frame_quantum, max_frames_cap = 16, 128, 2048
+    spec_duration_table = None
+    spec_duration_std = None
+    spec_frames_per_phone = 10.0
+    spec_margin = 3.0
+    spec_rate_margin = 0.2
+
+
+def test_speculative_grid_covers_all_phone_buckets():
+    """The prewarm grid must include EVERY phone bucket up to max_phones
+    — including those past the point where predicted frames hit
+    max_frames_cap (a larger request still dispatches its own phone
+    bucket and must find it compiled)."""
+    pairs = Synthesizer._speculative_grid(_GridStub(), 256)
+    assert {p for p, _ in pairs} == set(range(16, 257, 16))
+    # buckets past the cap predict the cap
+    assert (256, 2048) in pairs
+    assert all(f <= 2048 for _, f in pairs)
+
+
+def test_predict_frames_handles_out_of_table_ids():
+    """Phoneme ids beyond the duration table fall back to the flat
+    per-phone bound instead of crashing the request (stale table /
+    custom inventory)."""
+    s = _GridStub()
+    s.frame_quantum, s.max_frames_cap = 1, 100000
+    s.spec_margin, s.spec_rate_margin = 0.0, 0.0
+    s.spec_duration_table = np.array([0.0, 5.0, 5.0])
+    s.spec_duration_std = np.zeros(3)
+    phoneme = np.array([[1, 2, 7, 0]])  # id 7 >= table size; 0 = pad
+    got = Synthesizer._predict_frames(s, phoneme, np.array([3]))
+    assert got == int(np.ceil(5.0 + 5.0 + s.spec_frames_per_phone))

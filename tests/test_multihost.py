@@ -131,3 +131,34 @@ def test_two_process_tensor_parallel_training(tmp_path):
     assert r0["checksum"] == pytest.approx(r1["checksum"], rel=1e-12)
     assert r0["checksum"] == pytest.approx(rs["checksum"], rel=1e-6)
     assert r0["step"] == rs["step"] > 0
+
+
+@pytest.mark.slow
+def test_two_process_ragged_tail_batches(tmp_path):
+    """Non-divisible global batches on a multi-host mesh: fixed-size
+    batches of 3 over 16 items leave a 1-row tail on the data=4 mesh.
+    mesh_process_rows pads the GLOBAL batch with zero-weight rows
+    (single-process pad_batch_to_multiple semantics; the reference
+    instead drops such batches, `tts.py:138-142`) — for the tail batch
+    one host's slab is ENTIRELY padding (it borrows a row, fully
+    zero-weighted). Must be numerically identical to the single-process
+    run, which pads the same batches to 4 rows."""
+    port = _free_port()
+    procs = [_run_worker("multi_rag", p, 2, port, tmp_path)
+             for p in range(2)]
+    outs = [p.communicate(timeout=560)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"multi_rag worker failed:\n{out[-3000:]}"
+
+    single = _run_worker("single_rag", 0, 1, 0, tmp_path)
+    out_s = single.communicate(timeout=560)[0]
+    assert single.returncode == 0, \
+        f"single_rag worker failed:\n{out_s[-3000:]}"
+
+    r0 = json.loads((tmp_path / "result-multi_rag-0.json").read_text())
+    r1 = json.loads((tmp_path / "result-multi_rag-1.json").read_text())
+    rs = json.loads((tmp_path / "result-single_rag-0.json").read_text())
+    # 6 batches/epoch (16 items in 3s -> tail of 1), both runs
+    assert r0["step"] == r1["step"] == rs["step"] == 12
+    assert r0["checksum"] == pytest.approx(r1["checksum"], rel=1e-12)
+    assert r0["checksum"] == pytest.approx(rs["checksum"], rel=1e-6)
