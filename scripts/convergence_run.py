@@ -142,10 +142,16 @@ def make_learnable_corpus(root: Path, n_utts: int, seed=0):
     return stats
 
 
-def build_small_model():
+def build_small_model(norm_scale=6.0):
     """~8M-param model with every flagship component (all five losses),
     sized so hundreds of epochs fit in minutes: conformer 2 blocks C=128,
-    DiffNet 10x64, 4-layer mini-BERT prompt encoder, GST, style MDN."""
+    DiffNet 10x64, 4-layer mini-BERT prompt encoder, GST, style MDN.
+
+    norm_scale is corpus-dependent (it maps normalized mel into the
+    diffusion's ~[-1,1] working range): the flagship's 6.0 matches the
+    real corpus's normalized-mel spread; THIS corpus's normalized mels
+    are ~N(0,1), so 6.0 leaves x0 at std 0.17 and starves the decoder's
+    SNR — pass ~2.5 here (3-sigma to the range edge)."""
     from promptttspp_tpu.models.bert import BertConfig
     from promptttspp_tpu.models.diffusion import DiffNet, GaussianDiffusion
     from promptttspp_tpu.models.frame_prior import FramePriorNetwork
@@ -199,7 +205,7 @@ def build_small_model():
             denoise_fn=DiffNet(in_dim=MEL_DIM, encoder_hidden_dim=C,
                                residual_layers=10, residual_channels=64,
                                kernel_size=3, dilation_cycle_length=5),
-            K_step=100, schedule_type="linear", norm_scale=6.0),
+            K_step=100, schedule_type="linear", norm_scale=norm_scale),
         norm_style_emb=True,
         mdn_disable_amp=True,
     )
@@ -215,6 +221,9 @@ def main():
     ap.add_argument("--root", default=None,
                     help="corpus/work dir (default: temp)")
     ap.add_argument("--num-eval", type=int, default=12)
+    ap.add_argument("--norm-scale", type=float, default=6.0,
+                    help="diffusion norm_scale; ~2.5 fits THIS corpus's "
+                    "~N(0,1) normalized mels (see build_small_model)")
     ap.add_argument("--extend", action="store_true",
                     help="skip phase 1: resume from --root's existing "
                     "ckpt/last and train on to --epochs, then re-eval "
@@ -263,7 +272,8 @@ def main():
             prompt_candidate_file=root / "style.csv",
             spk_prompt_candidate_file=root / "spk.csv", seed=0)
         return TTSTrainer(cfg, train_ds=ds, tokenizer=Vocab30kTokenizer(),
-                          model=build_small_model(), freeze_bert=False)
+                          model=build_small_model(args.norm_scale),
+                          freeze_bert=False)
 
     t0 = time.time()
     if not args.extend:
@@ -348,6 +358,7 @@ def main():
         "backend": jax.default_backend(),
         "utts": args.utts, "epochs": len(csv) - 1,
         "resumed_at": args.resume_at,
+        "norm_scale": args.norm_scale, "max_tokens": args.max_tokens,
         "steps": int(state.step), "train_s": round(train_s, 1),
         "loss_first_epoch": {k: round(float(v), 4)
                              for k, v in first.items() if k != "epoch"},
