@@ -87,10 +87,28 @@ def build_synthesizer(cfg):
         # compile the serving program grid before the first user request
         # (pair with JAX_COMPILATION_CACHE_DIR / prewarm_serving.py so
         # restarts deserialize instead — BENCHMARKS.md §Serving cold
-        # start)
-        synth.prewarm(grid=cfg.get("prewarm_grid", "speculative"),
-                      max_phones=int(cfg.get("prewarm_max_phones", 208)),
-                      log=lambda m: print(m, file=sys.stderr, flush=True))
+        # start). use_max/noise_scale are STATIC jit args of the fused
+        # program — the grid must be compiled at the deployment's values
+        # or every "prewarmed" shape recompiles on first request. The
+        # grid only covers the fused batched-vocoder path; sharded/
+        # frame-sharded serving dispatches different programs.
+        if (synth.vocoder_mode != "batched"
+                or getattr(synth, "frame_sharded_decode", False)):
+            print("prewarm: skipped — the fused-program grid does not "
+                  "cover vocoder_mode="
+                  f"{synth.vocoder_mode}/frame_sharded_decode",
+                  file=sys.stderr, flush=True)
+        else:
+            # non-speculative serving buckets the TRUE durations — any
+            # frame bucket per phone bucket — so it needs the full grid
+            default_grid = ("speculative" if synth.speculative
+                            else "full")
+            synth.prewarm(
+                grid=cfg.get("prewarm_grid", default_grid),
+                max_phones=int(cfg.get("prewarm_max_phones", 208)),
+                use_max=cfg.get("use_max", True),
+                noise_scale=cfg.get("noise_scale", 0.5),
+                log=lambda m: print(m, file=sys.stderr, flush=True))
     return synth
 
 

@@ -75,15 +75,19 @@ def process_slice(n_rows: int, process_index: Optional[int] = None,
     return slice(p * per, (p + 1) * per)
 
 
-def mesh_process_rows(mesh: Mesh, n_rows: int):
+def mesh_process_rows(mesh: Mesh, n_rows: int,
+                      row_multiple: Optional[int] = None):
     """``(real_slice, slab_rows)`` for this process's share of a global
     batch of ``n_rows``, derived from the MESH (not from process_count):
     the union of the P("data") row shards its addressable devices hold.
 
-    A global batch not divisible by the data-axis size is conceptually
-    padded up to ``ceil(n/D)*D`` zero-weight rows (matching the
-    single-process ``pad_batch_to_multiple`` semantics — the reference
-    instead DROPS non-divisible dynamic batches, `tts.py:138-142`):
+    A global batch not divisible by ``row_multiple`` (default: the
+    data-axis size; the trainer passes data × pipeline_microbatches so
+    GPipe's ``B % (M*D) == 0`` requirement survives ragged tails) is
+    conceptually padded up to the next multiple with zero-weight rows
+    (matching the single-process ``pad_batch_to_multiple`` semantics —
+    the reference instead DROPS non-divisible dynamic batches,
+    `tts.py:138-142`):
     ``real_slice`` is this host's span of REAL rows (possibly empty for
     a host whose slab is entirely padding) and ``slab_rows`` is the
     exact row count it must supply after local zero-weight padding, so
@@ -96,7 +100,11 @@ def mesh_process_rows(mesh: Mesh, n_rows: int):
     process holds (a replica of) every shard and must load the full
     batch."""
     D = mesh.shape["data"]
-    per = -(-n_rows // D)  # rows per shard after global padding
+    mult = row_multiple or D
+    assert mult % D == 0, (
+        f"row_multiple {mult} must be a multiple of the data axis {D}")
+    padded = -(-n_rows // mult) * mult
+    per = padded // D  # rows per shard after global padding
     pid = jax.process_index()
     devs = np.asarray(mesh.devices).reshape(D, -1)
     mine = [d for d in range(D)
@@ -149,7 +157,8 @@ def host_batches(sampler, dataset, collator,
                  process_index: Optional[int] = None,
                  process_count: Optional[int] = None,
                  prompt_pad_to: int = 64,
-                 mesh: Optional[Mesh] = None):
+                 mesh: Optional[Mesh] = None,
+                 row_multiple: Optional[int] = None):
     """Per-host view of a global batch sampler.
 
     Every host walks the identical (seed-synchronized) sampler; for each
@@ -182,7 +191,7 @@ def host_batches(sampler, dataset, collator,
         kwargs = dict(t_phones=t_phones, t_frames=t_frames,
                       prompt_pad_to=prompt_pad_to)
         if mesh is not None:
-            sl, slab = mesh_process_rows(mesh, len(idx))
+            sl, slab = mesh_process_rows(mesh, len(idx), row_multiple)
             local = list(idx)[sl]
             # reserved keys the batch assemblers pop (not collator args):
             # exact local row target, and the all-padding marker for a

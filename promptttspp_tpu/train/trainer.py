@@ -415,7 +415,7 @@ class TTSTrainer:
                     epoch_sampler = host_batches(
                         sampler, self.train_ds, collator,
                         prompt_pad_to=cfg.select("train.prompt_pad_to", 64),
-                        mesh=mesh)
+                        mesh=mesh, row_multiple=n_data)
                 else:
                     epoch_sampler = sampler
                 if pipeline == "prefetch":

@@ -84,6 +84,11 @@ def _kernel_flops(path: str, shape, B, Tp, Tf, L, heads=2):
 def train_flops(params, B, Tp, Tf, L, bert_frozen=True):
     """-> (total_train_flops, {component: train_flops}) for one step."""
     per = {}
+    # the trainable BERT layer is the LAST one whatever the depth
+    # (bert_freeze_mask semantics) — derive its index, don't hardcode 11
+    last_bert = max(int(k.rsplit("_", 1)[1])
+                    for k in params["prompt_encoder"]["bert"]
+                    if k.startswith("encoder_layer_"))
 
     def walk(tree, path=""):
         if isinstance(tree, dict):
@@ -96,7 +101,7 @@ def train_flops(params, B, Tp, Tf, L, bert_frozen=True):
         if top == "prompt_encoder" and bert_frozen:
             # frozen trunk: fwd only; trainable last-layer attention +
             # adaptor MLP: fwd + 2x bwd
-            trainable = ("encoder_layer_11/attention" in path
+            trainable = (f"encoder_layer_{last_bert}/attention" in path
                          or "/adaptor_" in path)
             fl *= 3.0 if trainable else 1.0
         else:
@@ -104,20 +109,24 @@ def train_flops(params, B, Tp, Tf, L, bert_frozen=True):
         per[top] = per.get(top, 0.0) + fl
 
     walk(params)
-    C = 256
-    # conformer rel-pos attention quadratic terms, 4 blocks:
+    # attention widths from the ACTUAL kernel shapes (config overrides
+    # must flow into the quadratic terms, not just the matmul walk)
+    enc_blocks = params["encoder"]["encoder"]
+    blocks = [k for k in enc_blocks if k.startswith("encoders_")]
+    n_blocks = len(blocks)
+    C = enc_blocks[blocks[0]]["self_attn"]["linear_q"]["kernel"].shape[1]
+    # conformer rel-pos attention quadratic terms, per block:
     # scores q·k^T (2BT^2C), rel bd q·p^T (2BT(2T-1)C), context a·v
-    n_blocks = sum(1 for k in params["encoder"]["encoder"]
-                   if k.startswith("encoders_"))
     attn = n_blocks * (2.0 * B * Tp * Tp * C
                        + 2.0 * B * Tp * (2 * Tp - 1) * C
                        + 2.0 * B * Tp * Tp * C)
     per["encoder"] = per.get("encoder", 0.0) + 3.0 * attn
     # BERT attention quadratic (scores + context), fwd-only when frozen
     # except the last layer
-    bl = [k for k in params["prompt_encoder"]["bert"]
-          if k.startswith("encoder_layer_")]
-    battn1 = 2.0 * 2.0 * B * L * L * 768
+    bert = params["prompt_encoder"]["bert"]
+    bl = [k for k in bert if k.startswith("encoder_layer_")]
+    bert_h = bert[bl[0]]["attention_self"]["query"]["kernel"].shape[1]
+    battn1 = 2.0 * 2.0 * B * L * L * bert_h
     mult = (len(bl) - 1) * 1.0 + 1 * 3.0 if bert_frozen else len(bl) * 3.0
     per["prompt_encoder"] = per.get("prompt_encoder", 0.0) + mult * battn1
     # duration->frame alignment expansion x @ path [B,Tp,Tf]

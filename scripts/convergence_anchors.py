@@ -55,12 +55,6 @@ def gen_corpus(n_utts, seed=0):
     return world, utts
 
 
-def coarticulate(mel):
-    k, T = 5, len(mel)
-    pad = np.pad(mel, ((k // 2, k // 2), (0, 0)), mode="edge")
-    return np.stack([pad[i:i + T] for i in range(k)]).mean(axis=0)
-
-
 def score(gt, pred_mel, pred_f0=None, pred_vuv=None, gt_f0=None):
     path = dtw_path(mel_cepstra(gt["mel"])[:, 1:],
                     mel_cepstra(pred_mel)[:, 1:])
@@ -104,33 +98,17 @@ def main():
 
         # noise floor: same phones/speaker, fresh duration jitter +
         # observation noise — the world's own spread for this sentence
-        dur2 = np.maximum(np.round(
-            world.mean_dur[u["ids"]] * world.spk_rate[u["spk"]]
-            * np.exp(redraw_rng.randn(len(u["ids"])) * 0.25)),
-            2).astype(np.int64)
-        fp2 = np.repeat(u["ids"], dur2)
-        mel2 = coarticulate(world.template[fp2]
-                            + world.spk_offset[u["spk"]])
-        mel2 += redraw_rng.randn(len(mel2), 80) * 0.05
-        lf02 = np.convolve(np.pad(world.phone_lf0[fp2], (4, 4),
-                                  mode="edge"),
-                           np.ones(9) / 9, mode="valid")
-        vuv2 = world.voiced[fp2].astype(np.float32)
-        f02 = np.where(vuv2 > 0, np.exp(lf02 * vuv2), 0.0)
-        anchors["noise_floor"].append(
-            score(u, mel2.astype(np.float32), f02, vuv2, gt_f0))
+        # (rendered by World.render, the corpus's own math)
+        dur2 = world.sample_durations(redraw_rng, u["ids"], u["spk"])
+        mel2, lf02, vuv2 = world.render(u["ids"], dur2, u["spk"],
+                                        noise_rng=redraw_rng)
+        f02 = np.where(vuv2 > 0, np.exp(lf02), 0.0)
+        anchors["noise_floor"].append(score(u, mel2, f02, vuv2, gt_f0))
 
         # oracle: the noiseless generative track at TRUE durations
-        fp = np.repeat(u["ids"], u["dur"])
-        mel_o = coarticulate(world.template[fp]
-                             + world.spk_offset[u["spk"]])
-        lf0_o = np.convolve(np.pad(world.phone_lf0[fp], (4, 4),
-                                   mode="edge"),
-                            np.ones(9) / 9, mode="valid")
-        vuv_o = world.voiced[fp].astype(np.float32)
-        f0_o = np.where(vuv_o > 0, np.exp(lf0_o * vuv_o), 0.0)
-        anchors["oracle"].append(
-            score(u, mel_o.astype(np.float32), f0_o, vuv_o, gt_f0))
+        mel_o, lf0_o, vuv_o = world.render(u["ids"], u["dur"], u["spk"])
+        f0_o = np.where(vuv_o > 0, np.exp(lf0_o), 0.0)
+        anchors["oracle"].append(score(u, mel_o, f0_o, vuv_o, gt_f0))
 
         # trivial predictors at true length; constant F0 / majority VUV
         const_vuv = np.full(T, maj_vuv, np.float32)

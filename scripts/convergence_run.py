@@ -76,11 +76,15 @@ class World:
         self.freq = w / w.sum()
         self.spk_rate = np.exp(rng.randn(N_SPK) * 0.08)
 
-    def utterance(self, rng, n_ph, spk):
-        ids = rng.choice(np.arange(1, N_PHONES), size=n_ph, p=self.freq)
-        dur = np.maximum(np.round(
+    def sample_durations(self, rng, ids, spk):
+        return np.maximum(np.round(
             self.mean_dur[ids] * self.spk_rate[spk]
-            * np.exp(rng.randn(n_ph) * 0.25)), 2).astype(np.int64)
+            * np.exp(rng.randn(len(ids)) * 0.25)), 2).astype(np.int64)
+
+    def render(self, ids, dur, spk, noise_rng=None):
+        """(mel, lf0, vuv) for a phone/duration sequence — THE corpus
+        rendering math; convergence_anchors.py reuses it so the anchor
+        predictors can never drift from the generator."""
         T = int(dur.sum())
         frame_phone = np.repeat(ids, dur)
         mel = self.template[frame_phone] + self.spk_offset[spk]
@@ -88,13 +92,20 @@ class World:
         k = 5
         pad = np.pad(mel, ((k // 2, k // 2), (0, 0)), mode="edge")
         mel = np.stack([pad[i:i + T] for i in range(k)]).mean(axis=0)
-        mel += rng.randn(T, MEL_DIM) * 0.05       # observation noise
+        if noise_rng is not None:                 # observation noise
+            mel = mel + noise_rng.randn(T, MEL_DIM) * 0.05
         lf0 = self.phone_lf0[frame_phone]
         lf0 = np.convolve(np.pad(lf0, (4, 4), mode="edge"),
                           np.ones(9) / 9, mode="valid")
         vuv = self.voiced[frame_phone].astype(np.float32)
         lf0 = (lf0 * vuv).astype(np.float32)      # cf0 convention: 0 unvoiced
-        return ids, dur, mel.astype(np.float32), lf0, vuv
+        return mel.astype(np.float32), lf0, vuv
+
+    def utterance(self, rng, n_ph, spk):
+        ids = rng.choice(np.arange(1, N_PHONES), size=n_ph, p=self.freq)
+        dur = self.sample_durations(rng, ids, spk)
+        mel, lf0, vuv = self.render(ids, dur, spk, noise_rng=rng)
+        return ids, dur, mel, lf0, vuv
 
 
 def make_learnable_corpus(root: Path, n_utts: int, seed=0):

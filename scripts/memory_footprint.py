@@ -184,13 +184,25 @@ def footprint_pp():
     # per-layer params: dilated_conv [3, C, 2C], cond proj [1, H, 2C],
     # out proj [1, C, 2C] (+ biases, negligible)
     per_layer = (3 * C * 2 * C + 1 * H * 2 * C + 1 * C * 2 * C) * 4
-    rows = {}
-    for S in (2, 4, 8):
+    cycle = dn.dilation_cycle_length  # stage size must be a multiple
+    rows = {"constraint": (
+        f"admissible stage counts for THIS denoiser (L={L}, dilation "
+        f"cycle {cycle}): S with L%S==0 and (L/S)%{cycle}==0 — pp.py "
+        "raises on others")}
+    for S in range(2, L + 1):
+        if L % S != 0 or (L // S) % cycle != 0:
+            # not a runnable stage split for this denoiser (pp.py
+            # constraint) — don't publish a row for it
+            continue
         M = S  # microbatches = stages (the default schedule)
-        mb = B // M
+        # denoise_pipelined requires B % M == 0 — use the nearest
+        # admissible batch to the 30-row recipe so the row describes a
+        # runnable config (30 % 4 is not)
+        Bs = (B // M) * M or M
+        mb = Bs // M
         act = mb * T * C * 4  # one microbatch activation [mb, T, C] f32
         slab = per_layer * (L // S)
-        rows[f"pp_S{S}"] = {
+        rows[f"pp_S{S}_B{Bs}"] = {
             "stage_param_slab_gb": round(slab / GB, 4),
             "microbatch_act_gb": round(act / GB, 4),
             # h + cond + temb resident per stage + 2 boundary buffers
@@ -204,6 +216,10 @@ def main():
     which = sys.argv[1:] or ["train", "serve", "decode", "pp"]
     out = {"metric": "memory_footprint",
            "backend": jax.default_backend()}
+    prior = REPO / "results" / "memory_footprint.json"
+    if which != ["train", "serve", "decode", "pp"] and prior.exists():
+        # subset run: merge over the existing file instead of clobbering
+        out = {**json.loads(prior.read_text()), **out}
     for name in which:
         fn = {"train": footprint_train, "serve": footprint_serve,
               "decode": footprint_decode, "pp": footprint_pp}[name]

@@ -82,6 +82,12 @@ def main():
                     "(208 phones ~= the 2048-frame cap at 10 f/phone)")
     ap.add_argument("--selftest", action="store_true",
                     help="random-init flagship instead of checkpoints")
+    ap.add_argument("--use-max", type=int, default=1,
+                    help="use_max STATIC arg the deployment serves with "
+                    "(the compiled grid is keyed on it)")
+    ap.add_argument("--noise-scale", type=float, default=0.5,
+                    help="noise_scale STATIC arg the deployment serves "
+                    "with (the compiled grid is keyed on it)")
     ap.add_argument("overrides", nargs="*",
                     help="hydra overrides for the synthesize.py config "
                     "(model_ckpt=... vocoder_ckpt=... etc.)")
@@ -111,6 +117,7 @@ def main():
         batch_sizes=tuple(args.batch_sizes),
         prompt_lens=tuple(args.prompt_lens),
         grid=args.grid, max_phones=args.max_phones,
+        use_max=bool(args.use_max), noise_scale=args.noise_scale,
         log=lambda m: print(m, file=sys.stderr, flush=True))
     total = time.perf_counter() - t0
     print(json.dumps({

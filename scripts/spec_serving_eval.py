@@ -107,16 +107,24 @@ def evaluate(world, policies, n=20000, seed=1):
         else:
             pred = np.array([predict(ids) for ids, _ in utts], np.float64)
         bucket = np.minimum(
-            np.maximum(
-                np.ceil(pred / FRAME_QUANTUM) * FRAME_QUANTUM,
-                FRAME_QUANTUM),
+            np.array([bucket_shape(int(p), FRAME_QUANTUM)
+                      for p in np.maximum(pred, 1)], np.float64),
             MAX_FRAMES_CAP)
-        miss = true > bucket
+        overflow = true > bucket
+        # shipped semantics (infer.py _PendingRequest.result /
+        # synthesize_streaming): a request whose PREDICTED bucket is
+        # already at max_frames_cap cannot re-dispatch larger — it clips
+        # the audio instead of counting as a mispredict. Report the two
+        # outcomes separately.
+        at_cap = bucket >= MAX_FRAMES_CAP
+        miss = overflow & ~at_cap
+        clipped = overflow & at_cap
         slack = bucket - true
         over = bucket / np.maximum(true, 1)
         rows.append(dict(
             policy=name,
             mispredict_pct=round(100.0 * miss.mean(), 3),
+            clipped_at_cap_pct=round(100.0 * clipped.mean(), 3),
             over_provision_mean=round(float(over.mean()), 3),
             over_provision_p90=round(float(np.percentile(over, 90)), 3),
             slack_p50=int(np.median(slack)),

@@ -178,3 +178,27 @@ def test_train_mode_loss_invariant_to_padding():
                 np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
                 err_msg="BatchNorm running stats not padding-invariant"),
             bs_p, bs_b)
+
+
+def test_mesh_process_rows_row_multiple():
+    """Ragged global batches pad to `row_multiple` (data x GPipe
+    microbatches), not just the data-axis size — under DPxPP a tail
+    batch must still satisfy denoise_pipelined's B % (M*D) == 0
+    (parallel/pp.py). Single-process: every shard is local, so the
+    slab is the whole padded batch."""
+    from promptttspp_tpu.parallel.distributed import mesh_process_rows
+    from promptttspp_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(model=2)  # data=4 on the 8-virtual-device harness
+    # default multiple = data axis: 7 rows -> padded 8, slab 8
+    sl, slab = mesh_process_rows(mesh, 7)
+    assert (sl, slab) == (slice(0, 7), 8)
+    # M=2 microbatches: multiple 4*2=8; 9 rows -> padded 16
+    sl, slab = mesh_process_rows(mesh, 9, row_multiple=8)
+    assert (sl, slab) == (slice(0, 9), 16)
+    # already divisible: unchanged
+    sl, slab = mesh_process_rows(mesh, 16, row_multiple=8)
+    assert (sl, slab) == (slice(0, 16), 16)
+    # row_multiple must contain the data axis
+    with pytest.raises(AssertionError):
+        mesh_process_rows(mesh, 9, row_multiple=6)
