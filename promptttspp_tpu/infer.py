@@ -430,7 +430,7 @@ class Synthesizer:
     def prewarm(self, batch_sizes=(1,), prompt_lens=(32,),
                 grid: str = "speculative", max_phones: int = 256,
                 use_max: bool = True, noise_scale: float = 0.5,
-                log=None):
+                streaming: bool = False, log=None):
         """Compile the fused text->wav serving programs ahead of the
         first request (the first request per (batch, phone-bucket,
         frame-bucket, prompt-len) shape otherwise pays the full XLA
@@ -447,6 +447,13 @@ class Synthesizer:
         re-dispatch share). grid="full": every (phone, frame) bucket pair
         up to (max_phones, max_frames_cap) — covers mispredict re-runs
         too. Returns [{B, Tp, Tf, L, seconds}, ...] per program.
+
+        streaming=True additionally compiles the
+        ``synthesize_streaming`` program set: the acoustic-only pass
+        (text -> mel+F0, a DIFFERENT program than the fused text->wav)
+        for every grid entry, plus the chunk-shaped streaming vocoder
+        programs (chunk_frames / first_chunk_frames — utterance-length
+        independent, so one warm run covers all lengths).
         """
         assert self._full_fn is not None, "prewarm requires a vocoder"
         pq, fq = self.phone_quantum, self.frame_quantum
@@ -476,6 +483,12 @@ class Synthesizer:
                         plens, pids, pmask, None, None, use_max,
                         noise_scale, k1, k2, max_frames=f)
                     jax.device_get(out[2])  # force the compile+run
+                    if streaming:
+                        sout = self._acoustic_fn(
+                            self.variables, phoneme, plens, pids, pmask,
+                            None, None, use_max, noise_scale, k1, k2,
+                            max_frames=f)
+                        jax.device_get(sout[2])
                     if p not in dur_warmed:
                         # the duration pre-pass for this phone bucket
                         # (the two-phase and mispredict-verification
@@ -491,6 +504,34 @@ class Synthesizer:
                     if log is not None:
                         log(f"prewarm B={B} Tp={p} Tf={f} L={L}: "
                             f"{dt:.1f}s")
+            if streaming:
+                # the chunk-shaped streaming vocoder programs (one per
+                # chunk shape, utterance-length independent): one warm
+                # run over first_chunk + one full chunk compiles both
+                from promptttspp_tpu.vocoders.streaming import (
+                    vocode_streaming)
+
+                t0 = _time.perf_counter()
+                T = (self.first_chunk_frames
+                     or self.chunk_frames) + self.chunk_frames
+                mel = jnp.zeros((B, T, self.model.decoder.out_dim),
+                                jnp.float32)
+                f0 = jnp.zeros((B, T, 1), jnp.float32)
+                for wav in vocode_streaming(
+                        self.vocoder, self.vocoder_variables, mel, f0,
+                        chunk_frames=self.chunk_frames,
+                        halo_frames=self.halo_frames,
+                        upsample=self.upsample,
+                        first_chunk_frames=self.first_chunk_frames,
+                        deterministic=True):
+                    jax.device_get(wav)
+                dt = _time.perf_counter() - t0
+                rows.append(dict(B=B, Tp=0, Tf=T, L=0,
+                                 seconds=round(dt, 2),
+                                 program="streaming_vocoder_chunks"))
+                if log is not None:
+                    log(f"prewarm streaming vocoder chunks B={B}: "
+                        f"{dt:.1f}s")
         return rows
 
     def _predict_frames(self, phoneme, plens) -> int:

@@ -88,6 +88,10 @@ def main():
     ap.add_argument("--noise-scale", type=float, default=0.5,
                     help="noise_scale STATIC arg the deployment serves "
                     "with (the compiled grid is keyed on it)")
+    ap.add_argument("--streaming", action="store_true",
+                    help="also compile the synthesize_streaming program "
+                    "set (acoustic-only pass per grid entry + the "
+                    "chunk-shaped streaming vocoder programs)")
     ap.add_argument("overrides", nargs="*",
                     help="hydra overrides for the synthesize.py config "
                     "(model_ckpt=... vocoder_ckpt=... etc.)")
@@ -118,6 +122,7 @@ def main():
         prompt_lens=tuple(args.prompt_lens),
         grid=args.grid, max_phones=args.max_phones,
         use_max=bool(args.use_max), noise_scale=args.noise_scale,
+        streaming=args.streaming,
         log=lambda m: print(m, file=sys.stderr, flush=True))
     total = time.perf_counter() - t0
     print(json.dumps({

@@ -586,3 +586,40 @@ def test_predict_frames_handles_out_of_table_ids():
     phoneme = np.array([[1, 2, 7, 0]])  # id 7 >= table size; 0 = pad
     got = Synthesizer._predict_frames(s, phoneme, np.array([3]))
     assert got == int(np.ceil(5.0 + 5.0 + s.spec_frames_per_phone))
+
+
+def test_prewarm_streaming_programs(tiny):
+    """prewarm(streaming=True) compiles the acoustic-only pass for each
+    grid entry plus the chunk-shaped streaming vocoder programs, and a
+    streaming request on a prewarmed shape still yields a correct
+    stitched stream."""
+    import tests.test_train as tt
+
+    model, variables, ds = tiny
+    voc, voc_vars = _tiny_vocoder()
+    spec = Synthesizer(model, variables, vocoder=voc,
+                       vocoder_variables=voc_vars,
+                       tokenizer=tt.TokenHashTokenizer(),
+                       mel_stats={"mean": MEAN, "std": STD},
+                       frame_quantum=64, max_frames_cap=128, upsample=8,
+                       phone_quantum=16, chunk_frames=32,
+                       first_chunk_frames=16, halo_frames=4,
+                       speculative=True, spec_frames_per_phone=8.0)
+    rows = spec.prewarm(batch_sizes=(2,), prompt_lens=(16,),
+                        grid="speculative", max_phones=16,
+                        streaming=True)
+    assert any(r.get("program") == "streaming_vocoder_chunks"
+               for r in rows)
+    seqs = [list(ds[i]["phonemes"]) for i in range(2)]
+    gen = spec.synthesize_streaming(seqs, prompts=["a", "b"], seed=3)
+    chunks = []
+    while True:
+        try:
+            chunks.append(next(gen))
+        except StopIteration as e:
+            flens = e.value
+            break
+    assert len(chunks) >= 1 and all(np.isfinite(c).all() for c in chunks)
+    # first chunk is the TTFA ramp (16 frames x 8 upsample)
+    assert chunks[0].shape[1] == 16 * 8
+    assert len(flens) == 2
